@@ -1,0 +1,154 @@
+"""Configuration system: pipeline settings, .conf files, and .ks scene files.
+
+Replicates the reference's 3-layer config (SURVEY.md §5):
+  - ``.conf`` key:value files (reference: framework/io/configurator.cpp:8-55
+    — whitespace stripped, '#' comments, typed buckets for uint / bool /
+    float / uint-list inferred from the value's spelling),
+  - ``.ks`` scene files ("kinect <file.yml>" lines + "bbx <6 floats>",
+    reference: source/kinect_client.cpp:206-235),
+  - programmatic defaults matching kinect_client.cpp:60-95.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Dict, List, Tuple, Union
+
+from .grid import BoundingBox
+
+ConfValue = Union[bool, int, float, List[int]]
+
+
+def parse_conf(path_or_text: Union[str, Path]) -> Dict[str, ConfValue]:
+    """Parse a .conf file into a typed dict.
+
+    Type inference matches configurator.cpp:25-54: all-digit values are
+    uints, all-alpha values are bools ("true" -> True, anything else ->
+    False), values containing ',' are uint lists, everything else is float.
+    """
+    p = Path(path_or_text)
+    text = p.read_text() if p.suffix == ".conf" and p.exists() else str(path_or_text)
+    out: Dict[str, ConfValue] = {}
+    for raw_line in text.splitlines():
+        line = "".join(raw_line.split())  # strip ALL whitespace, like the ref
+        if ":" not in line:
+            continue
+        name, _, val = line.partition(":")
+        if len(name) < 2 or name.startswith("#"):
+            continue
+        if "," in val:
+            out[name] = [int(e) if e.isdigit() else 0 for e in val.split(",") if e]
+        elif val.isdigit():
+            out[name] = int(val)
+        elif val.isalpha() and val != "":
+            out[name] = val == "true"
+        else:
+            try:
+                out[name] = float(val)
+            except ValueError:
+                out[name] = 0.0
+    return out
+
+
+@dataclasses.dataclass
+class SceneDescription:
+    """Parsed .ks scene file: calibration file names + working bounding box."""
+
+    calib_files: List[str]
+    bbox: BoundingBox
+    base_dir: str = ""
+
+
+def parse_ks(path_or_text: Union[str, Path]) -> SceneDescription:
+    """Parse a .ks file (kinect_client.cpp:206-235):
+    lines starting with 'kinect' name a sensor .yml; a 'bbx' line carries
+    6 floats (min xyz, max xyz)."""
+    p = Path(str(path_or_text))
+    if p.exists():
+        text = p.read_text()
+        base = str(p.parent)
+    else:
+        text = str(path_or_text)
+        base = ""
+    calib_files: List[str] = []
+    bbox = BoundingBox(min=(-1.2, 0.0, -1.2), max=(1.2, 2.4, 1.2))
+    for line in text.splitlines():
+        parts = line.split()
+        if not parts:
+            continue
+        if parts[0] == "kinect" and len(parts) >= 2:
+            calib_files.append(parts[1])
+        elif parts[0] == "bbx" and len(parts) >= 7:
+            vals = [float(v) for v in parts[1:7]]
+            bbox = BoundingBox(min=tuple(vals[0:3]), max=tuple(vals[3:6]))
+    return SceneDescription(calib_files=calib_files, bbox=bbox, base_dir=base)
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    """All tunables of the reconstruction pipeline, defaults matching the
+    reference's globals (kinect_client.cpp:60-95)."""
+
+    recon_mode: int = 1            # 0 points, 1 TSDF, 2 trigrid, 3 mvt
+    screen_width: int = 1280
+    screen_height: int = 720
+    bilateral: bool = True         # 13x13 bilateral depth filter
+    processed: bool = True         # use processed (vs raw) depth
+    refine: bool = True            # boundary color refinement
+    colorfill: bool = True         # pull-push hole fill
+    bricking: bool = True          # occupancy-gated integration
+    skip_space: bool = True        # brick-interval raymarch start
+    morph: bool = True             # morphological dilate pass
+    voxel_size: float = 0.01       # meters
+    brick_size: float = 0.1        # meters
+    tsdf_limit: float = 0.01       # truncation, in normalized depth units
+    min_voxels_per_brick: int = 10
+    time_limit: int = 0            # benchmark seconds; 0 = unlimited
+    num_lods: int = 7              # pull-push pyramid depth
+    shade_mode: int = 0            # 0 textured,1 shaded,2 normals,3 cam blend
+
+    @classmethod
+    def from_conf(cls, conf: Dict[str, ConfValue]) -> "PipelineConfig":
+        """Build from a parsed .conf dict, using reference key names
+        (kinect_client.cpp load_config :294-317)."""
+        c = cls()
+        keymap = {
+            "recon_mode": "recon_mode",
+            "screenWidth": "screen_width",
+            "screenHeight": "screen_height",
+            "bilateral": "bilateral",
+            "processed": "processed",
+            "refine": "refine",
+            "colorfill": "colorfill",
+            "bricking": "bricking",
+            "skip_space": "skip_space",
+            "voxel_size": "voxel_size",
+            "brick_size": "brick_size",
+            "tsdf_limit": "tsdf_limit",
+            "time_limit": "time_limit",
+        }
+        for conf_key, attr in keymap.items():
+            if conf_key in conf:
+                setattr(c, attr, conf[conf_key])
+        return c
+
+
+def format_conf(config: PipelineConfig) -> str:
+    """Serialize a PipelineConfig back to .conf text (round-trip support)."""
+    lines = [
+        f"recon_mode: {config.recon_mode}",
+        f"screenWidth: {config.screen_width}",
+        f"screenHeight: {config.screen_height}",
+        f"bilateral: {str(config.bilateral).lower()}",
+        f"processed: {str(config.processed).lower()}",
+        f"refine: {str(config.refine).lower()}",
+        f"colorfill: {str(config.colorfill).lower()}",
+        f"bricking: {str(config.bricking).lower()}",
+        f"skip_space: {str(config.skip_space).lower()}",
+        f"voxel_size: {config.voxel_size}",
+        f"brick_size: {config.brick_size}",
+        f"tsdf_limit: {config.tsdf_limit}",
+        f"time_limit: {config.time_limit}",
+    ]
+    return "\n".join(lines) + "\n"

@@ -1,0 +1,78 @@
+"""Brick occupancy marking and gating — scatter-add instead of SSBO atomics.
+
+Replicates glsl/inc_bricks.glsl semantics with TPU-native dense arrays:
+
+  - mark_brick (inc_bricks.glsl:40-58): every valid depth pixel's world
+    position increments its containing brick's counter, plus conditionally
+    the nearest neighbor brick along the dominant offset axis;
+  - brick_occupied (inc_bricks.glsl:60-62): counter > min_voxels (10);
+  - occupancy gating: instead of the reference's GPU->CPU counter readback +
+    compacted index list (recon_integration.cpp:431-446 — its only per-frame
+    sync), occupancy stays on device as a dense (Bz, By, Bx) bool mask and
+    gated kernels compute densely under the mask (static shapes, no sync).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def mark_bricks(
+    world_pos: jnp.ndarray,   # (..., 3) world positions of valid pixels
+    valid: jnp.ndarray,       # (...) bool
+    bbox_min: jnp.ndarray,
+    brick_size: float,
+    brick_res: tuple,         # (Bx, By, Bz) static
+) -> jnp.ndarray:
+    """Scatter-add brick counters for one frame. Returns (Bz, By, Bx) int32.
+
+    Exact port of mark_brick's index math (inc_bricks.glsl:40-58),
+    including the reference's neighbor-marking quirk of testing only
+    ``d_abs.x`` for the border condition (:52).
+    """
+    bx, by, bz = brick_res
+    p = world_pos.reshape(-1, 3)
+    v = valid.reshape(-1)
+
+    rel = (p - bbox_min) / brick_size
+    idx = jnp.floor(rel).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, jnp.array([bx - 1, by - 1, bz - 1], jnp.int32))
+
+    # own brick: +1 for every valid pixel
+    flat_own = (idx[:, 2] * by + idx[:, 1]) * bx + idx[:, 0]
+    counts = jnp.zeros((bz * by * bx,), jnp.int32)
+    counts = counts.at[flat_own].add(v.astype(jnp.int32))
+
+    # neighbor brick along the dominant-offset axis (inc_bricks.glsl:42-52)
+    brick_center = (idx.astype(jnp.float32) + 0.5) * brick_size + bbox_min
+    diff = p - brick_center
+    d_abs = jnp.abs(diff)
+    min_v = jnp.max(d_abs, axis=-1, keepdims=True)
+    min_c = jnp.where(d_abs < min_v, 0.0, 1.0)
+    offset = jnp.sign(diff * min_c).astype(jnp.int32)
+    nidx = jnp.clip(
+        idx + offset, 0, jnp.array([bx - 1, by - 1, bz - 1], jnp.int32)
+    )
+    flat_n = (nidx[:, 2] * by + nidx[:, 1]) * bx + nidx[:, 0]
+    near_border = d_abs[:, 0] > brick_size * 0.1  # quirk: x-axis only (:52)
+    counts = counts.at[flat_n].add((v & near_border).astype(jnp.int32))
+
+    return counts.reshape(bz, by, bx)
+
+
+def occupied_mask(counts: jnp.ndarray, min_voxels: int = 10) -> jnp.ndarray:
+    """(Bz, By, Bx) bool occupancy (brick_occupied, inc_bricks.glsl:60-62)."""
+    return counts > min_voxels
+
+
+def expand_mask_to_voxels(
+    mask: jnp.ndarray, voxel_to_brick: jnp.ndarray
+) -> jnp.ndarray:
+    """Broadcast a brick mask to per-voxel gating using the static
+    voxel->brick map (core.grid.BrickGrid.voxel_to_brick_map)."""
+    return mask.reshape(-1)[voxel_to_brick]
+
+
+def occupancy_ratio(mask: jnp.ndarray) -> jnp.ndarray:
+    """Fraction of occupied bricks (the GUI stat, kinect_client.cpp:405)."""
+    return jnp.mean(mask.astype(jnp.float32))

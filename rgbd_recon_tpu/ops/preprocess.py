@@ -1,0 +1,363 @@
+"""Per-sensor depth preprocessing chain (jnp reference kernels).
+
+Replicates the reference's 5-pass GPU chain (NetKinectArray::processTextures,
+framework/NetKinectArray.cpp:311-428) as pure functions over arrays:
+
+  morph (dilate)  glsl/pre_morph.fs      3x3 outlier-rejecting fill
+  bilateral+LAB   glsl/pre_depth.fs      13x13 depth-adaptive bilateral,
+                                         bbox cull, LAB color
+  boundary        glsl/pre_boundary.fs   silhouette + color-consistent refine
+  normals         glsl/pre_normal.fs     central-difference world normals
+  quality         glsl/pre_quality.fs    lateral continuity x viewing angle
+
+All functions operate on one sensor; `preprocess_frames` vmaps the chain over
+the sensor axis. Stencils are expressed as accumulation loops over static
+offsets on edge-padded arrays — GL texture lookups at pixel-center + integer
+offsets with clamp-to-edge resolve to exactly these shifted reads, and XLA
+fuses the accumulation into a single pass over VMEM-resident tiles.
+
+Depth map conventions (identical to the reference):
+  raw/morphed depth: float32 meters; 0 = invalid
+  processed depth (after bilateral): channel 0 = normalized depth in [0,1]
+    (or 0 = culled, -1 = invalidated by boundary pass), channel 1 = local
+    reliability (bilateral range confidence / boundary flags)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .color import rgb_to_lab
+from .sampling import bilinear_2d, trilinear_3d
+
+# Kinect v2 valid metric depth range (pre_morph.fs:32-33)
+_MIN_DEPTH = 0.5
+_MAX_DEPTH = 4.5
+
+
+@struct.dataclass
+class SensorMaps:
+    """All per-sensor intermediate maps — the equivalent of the reference's
+    texture-unit bus (SURVEY.md §1: color=1, depth=2, quality=3, normal=4,
+    silhouette=5, lab=7)."""
+
+    depth: jnp.ndarray        # (N, H, W, 2) processed normalized depth + flag
+    lab: jnp.ndarray          # (N, H, W, 3) LAB color at depth resolution
+    silhouette: jnp.ndarray   # (N, H, W)
+    normal: jnp.ndarray       # (N, H, W, 3) world-space normals
+    quality: jnp.ndarray      # (N, H, W) fusion weights
+    raw_depth: jnp.ndarray    # (N, H, W) morphed metric depth
+    color: jnp.ndarray        # (N, Hc, Wc, 3) raw rgb (pass-through)
+
+
+def _shifted(padded: jnp.ndarray, k: int, dy: int, dx: int, H: int, W: int):
+    """View of an edge-padded (H+2k, W+2k, ...) array shifted by (dy, dx)."""
+    return padded[k + dy : k + dy + H, k + dx : k + dx + W]
+
+
+def morph_dilate(depth: jnp.ndarray) -> jnp.ndarray:
+    """Morphological dilate, pre_morph.fs:73-112 (the pass actually executed:
+    mode 0 runs dilate(coords, 1), :123-127; mode 1 is passthrough :130-135).
+
+    Invalid pixels (outside 0.5..4.5 m) are filled with the two-pass
+    outlier-rejecting mean of their valid 3x3 neighbors: first the plain mean
+    of valid neighbors, then the mean of those within 0.2 m of it.
+    """
+    H, W = depth.shape
+    k = 1
+    pad = jnp.pad(depth, k, mode="edge")
+
+    valid_c = (depth > _MIN_DEPTH) & (depth < _MAX_DEPTH)
+
+    sum1 = jnp.zeros_like(depth)
+    cnt1 = jnp.zeros_like(depth)
+    for dy in range(-k, k + 1):
+        for dx in range(-k, k + 1):
+            s = _shifted(pad, k, dy, dx, H, W)
+            v = (s > _MIN_DEPTH) & (s < _MAX_DEPTH)
+            sum1 = sum1 + jnp.where(v, s, 0.0)
+            cnt1 = cnt1 + v.astype(depth.dtype)
+    any_valid = cnt1 > 0
+    avg = sum1 / jnp.maximum(cnt1, 1.0)
+
+    sum2 = jnp.zeros_like(depth)
+    cnt2 = jnp.zeros_like(depth)
+    for dy in range(-k, k + 1):
+        for dx in range(-k, k + 1):
+            s = _shifted(pad, k, dy, dx, H, W)
+            v = (s > _MIN_DEPTH) & (s < _MAX_DEPTH) & (jnp.abs(avg - s) < 0.2)
+            sum2 = sum2 + jnp.where(v, s, 0.0)
+            cnt2 = cnt2 + v.astype(depth.dtype)
+    filled = jnp.where(cnt2 > 0, sum2 / jnp.maximum(cnt2, 1.0), 0.0)
+    filled = jnp.where(any_valid, filled, 0.0)
+
+    return jnp.where(valid_c, depth, filled)
+
+
+def bilateral_lab(
+    depth_m: jnp.ndarray,       # (H, W) morphed metric depth
+    color: jnp.ndarray,         # (Hc, Wc, 3) rgb [0,1]
+    cv_xyz: jnp.ndarray,        # (D, Hv, Wv, 3)
+    cv_uv: jnp.ndarray,         # (D, Hv, Wv, 2)
+    bbox_min: jnp.ndarray,
+    bbox_max: jnp.ndarray,
+    depth_limits: jnp.ndarray,  # (2,) near/far
+    filter_on: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bilateral depth filter + bbox cull + LAB conversion, pre_depth.fs.
+
+    Returns (depth2 (H, W, 2): [normalized filtered depth, range confidence],
+             lab (H, W, 3)).
+    """
+    H, W = depth_m.shape
+    near, far = depth_limits[0], depth_limits[1]
+
+    def norm_d(d):
+        # pre_depth.fs:78-80
+        return (d - near) / (far - near)
+
+    u = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
+    v = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
+    uu, vv = jnp.meshgrid(u, v)
+    texcoord = jnp.stack([uu, vv], axis=-1)
+
+    depth_norm = norm_d(depth_m)
+    pos_world = trilinear_3d(
+        cv_xyz, jnp.concatenate([texcoord, depth_norm[..., None]], axis=-1)
+    )
+    in_box = jnp.all((pos_world >= bbox_min) & (pos_world <= bbox_max), axis=-1)
+
+    # LAB color (pre_depth.fs:136: degenerate depth samples use z=1.0)
+    z_for_uv = jnp.where((depth_norm <= 0.0) | (depth_norm >= 1.0), 1.0, depth_norm)
+    coords_c = trilinear_3d(
+        cv_uv, jnp.concatenate([texcoord, z_for_uv[..., None]], axis=-1)
+    )
+    rgb = bilinear_2d(color, coords_c)
+    lab = rgb_to_lab(rgb)
+
+    if not filter_on:
+        depth2 = jnp.stack([depth_norm, jnp.ones_like(depth_norm)], axis=-1)
+        depth2 = jnp.where(in_box[..., None], depth2, 0.0)
+        return depth2, lab
+
+    # 13x13 bilateral (pre_depth.fs:85-127)
+    ks = 6
+    pad = jnp.pad(depth_m, ks, mode="edge")
+    dist_range_max = 0.35 * depth_m / _MAX_DEPTH  # :89-91
+
+    depth_bf = jnp.zeros_like(depth_m)
+    w = jnp.zeros_like(depth_m)
+    w_range = jnp.zeros_like(depth_m)
+    num_samples = float((2 * ks + 1) ** 2)
+    for dy in range(-ks, ks + 1):
+        for dx in range(-ks, ks + 1):
+            s = _shifted(pad, ks, dy, dx, H, W)
+            depth_range = jnp.abs(s - depth_m)
+            outside = (s < near) | (s > far)
+            border = outside | (depth_range > dist_range_max)
+            gauss_space = 1.0 - jnp.sqrt(float(dx * dx + dy * dy)) / ks  # :38-41
+            gauss_range = 1.0 - jnp.minimum(depth_range, dist_range_max) / jnp.maximum(
+                dist_range_max, 1e-20
+            )  # :45-48
+            w_s = jnp.where(border, 0.0, gauss_space * gauss_range)
+            depth_bf = depth_bf + w_s * s
+            w = w + w_s
+            w_range = w_range + jnp.where(border, 0.0, gauss_range)
+
+    filtered = depth_bf / jnp.maximum(w, 1e-20)
+    depth2 = jnp.stack([norm_d(filtered), w_range / num_samples], axis=-1)
+    depth2 = jnp.where(in_box[..., None], depth2, 0.0)  # :143-146
+    return depth2, lab
+
+
+# boundary pass constants (pre_boundary.fs:19-30)
+_MAX_COLOR_DIST = 0.5
+_MIN_RANGE = 0.65
+
+
+def boundary(
+    depth2: jnp.ndarray, lab: jnp.ndarray, refine: bool = True
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Silhouette extraction + color-consistent boundary refinement,
+    pre_boundary.fs:86-118.
+
+    Returns (depth2' (H, W, 2), silhouette (H, W)).
+    Output flags in channel 1: 0 = valid interior, 1 = refine-kept boundary,
+    0.1 = invalidated (channel 0 then carries -1), 0 = outside bbox.
+    """
+    H, W = depth2.shape[:2]
+    ks = 2
+    dpad = jnp.pad(depth2, ((ks, ks), (ks, ks), (0, 0)), mode="edge")
+    lpad = jnp.pad(lab, ((ks, ks), (ks, ks), (0, 0)), mode="edge")
+
+    # get_color_diff (:37-55): mean LAB distance over valid 5x5 neighbors
+    total_dist = jnp.zeros((H, W), lab.dtype)
+    cnt = jnp.zeros((H, W), lab.dtype)
+    for dy in range(-ks, ks + 1):
+        for dx in range(-ks, ks + 1):
+            d_s = _shifted(dpad, ks, dy, dx, H, W)
+            l_s = _shifted(lpad, ks, dy, dx, H, W)
+            v = (d_s[..., 0] > 0.0) & (d_s[..., 1] > _MIN_RANGE)
+            dist = jnp.linalg.norm(lab - l_s, axis=-1)
+            total_dist = total_dist + jnp.where(v, dist, 0.0)
+            cnt = cnt + v.astype(lab.dtype)
+    total_samples = float((2 * ks) * (2 * ks))  # :23 (16, not 25!)
+    color_diff = jnp.where(
+        cnt < total_samples * 0.5, 1.0, total_dist / jnp.maximum(cnt, 1.0)
+    )
+
+    d = depth2[..., 0]
+    q = depth2[..., 1]
+
+    outside = d <= 0.0
+    unreliable = (~outside) & (q <= _MIN_RANGE)
+    kept = unreliable & (color_diff <= _MAX_COLOR_DIST) & bool(refine)
+    invalidated = unreliable & ~kept
+
+    new_d = jnp.where(invalidated, -1.0, d)
+    new_q = jnp.where(
+        outside, 0.0, jnp.where(invalidated, 0.1, jnp.where(kept, 1.0, 0.0))
+    )
+    sil = jnp.where(outside | unreliable, 0.0, 1.0)
+    return jnp.stack([new_d, new_q], axis=-1), sil
+
+
+def normals(depth2: jnp.ndarray, cv_xyz: jnp.ndarray) -> jnp.ndarray:
+    """Central-difference world-space normals, pre_normal.fs:26-56.
+
+    Input channel 0 of `depth2` is the processed normalized depth;
+    invalid (<=0 or >=1) neighbors are replaced by the center depth.
+    (Brick marking, the pass's GL side effect, lives in ops/bricks.py.)
+    """
+    H, W = depth2.shape[:2]
+    d = depth2[..., 0]
+    valid = (d > 0.0) & (d < 1.0)
+
+    u = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
+    v = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
+    uu, vv = jnp.meshgrid(u, v)
+
+    pad = jnp.pad(d, 1, mode="edge")
+
+    def world_at(du, dv, dy, dx):
+        ds = _shifted(pad, 1, dy, dx, H, W)
+        ds = jnp.where((ds <= 0.0) | (ds >= 1.0), d, ds)
+        coords = jnp.stack([uu + du / W, vv + dv / H, ds], axis=-1)
+        return trilinear_3d(cv_xyz, coords)
+
+    world_t = world_at(0.0, 1.0, 1, 0)   # tex_pos + (0, +texSizeInv.y)
+    world_b = world_at(0.0, -1.0, -1, 0)
+    world_l = world_at(-1.0, 0.0, 0, -1)
+    world_r = world_at(1.0, 0.0, 0, 1)
+
+    n = jnp.cross(world_b - world_t, world_l - world_r)
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / jnp.maximum(norm, 1e-20)
+    return jnp.where(valid[..., None], n, 0.0)
+
+
+def quality(
+    depth2: jnp.ndarray,
+    normal: jnp.ndarray,
+    cv_xyz: jnp.ndarray,
+    camera_position: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-pixel fusion weight, pre_quality.fs:65-119.
+
+    quality = (1 - border_frac)^6 * (mean range weight)^6 / (depth * 6.5)
+              * cos(view angle)^2
+    computed over a 13x13 window on *normalized* depth.
+    """
+    H, W = depth2.shape[:2]
+    d = depth2[..., 0]
+    inside = (d > 0.0) & (d < 1.0)
+
+    ks = 6
+    pad = jnp.pad(d, ks, mode="edge")
+    dist_range_max = 0.35 * d  # :71-75 (max_depth = 1.0 here)
+
+    border = jnp.zeros_like(d)
+    w_range = jnp.zeros_like(d)
+    num_samples = float((2 * ks + 1) ** 2)
+    for dy in range(-ks, ks + 1):
+        for dx in range(-ks, ks + 1):
+            s = _shifted(pad, ks, dy, dx, H, W)
+            depth_range = jnp.abs(s - d)
+            is_border = (s <= 0.0) | (s >= 1.0) | (depth_range > dist_range_max)
+            border = border + is_border.astype(d.dtype)
+            gauss_range = 1.0 - jnp.minimum(depth_range, dist_range_max) / jnp.maximum(
+                dist_range_max, 1e-20
+            )
+            w_range = w_range + jnp.where(is_border, 0.0, gauss_range)
+
+    lateral_quality = 1.0 - border / num_samples
+    q = lateral_quality**6 * (w_range / num_samples) ** 6
+    q = q / jnp.maximum(d * 6.5, 1e-20)
+
+    # viewing-angle weight (:43-48, :113-114)
+    u = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
+    v = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
+    uu, vv = jnp.meshgrid(u, v)
+    world_pos = trilinear_3d(cv_xyz, jnp.stack([uu, vv, d], axis=-1))
+    to_cam = camera_position - world_pos
+    to_cam = to_cam / jnp.maximum(jnp.linalg.norm(to_cam, axis=-1, keepdims=True), 1e-20)
+    angle = jnp.sum(to_cam * normal, axis=-1)
+    q = q * angle**2
+
+    return jnp.where(inside, q, 0.0)
+
+
+def preprocess_sensor(
+    raw_depth: jnp.ndarray,
+    color: jnp.ndarray,
+    cv_xyz: jnp.ndarray,
+    cv_uv: jnp.ndarray,
+    bbox_min: jnp.ndarray,
+    bbox_max: jnp.ndarray,
+    depth_limits: jnp.ndarray,
+    camera_position: jnp.ndarray,
+    morph: bool = True,
+    bilateral: bool = True,
+    refine: bool = True,
+):
+    """Full single-sensor chain (order: NetKinectArray.cpp:311-428)."""
+    d_m = morph_dilate(raw_depth) if morph else raw_depth
+    depth2, lab = bilateral_lab(
+        d_m, color, cv_xyz, cv_uv, bbox_min, bbox_max, depth_limits, bilateral
+    )
+    depth2, sil = boundary(depth2, lab, refine)
+    nrm = normals(depth2, cv_xyz)
+    qual = quality(depth2, nrm, cv_xyz, camera_position)
+    return depth2, lab, sil, nrm, qual, d_m
+
+
+def preprocess_frames(
+    depths: jnp.ndarray,       # (N, H, W) raw metric depth
+    colors: jnp.ndarray,       # (N, Hc, Wc, 3)
+    cv_xyz: jnp.ndarray,       # (N, D, Hv, Wv, 3)
+    cv_uv: jnp.ndarray,        # (N, D, Hv, Wv, 2)
+    bbox_min: jnp.ndarray,
+    bbox_max: jnp.ndarray,
+    depth_limits: jnp.ndarray,  # (N, 2)
+    camera_positions: jnp.ndarray,  # (N, 3)
+    morph: bool = True,
+    bilateral: bool = True,
+    refine: bool = True,
+) -> SensorMaps:
+    """vmapped multi-sensor preprocessing — one fused XLA program for the
+    whole chain over all sensors."""
+    fn = functools.partial(
+        preprocess_sensor, morph=morph, bilateral=bilateral, refine=refine
+    )
+    depth2, lab, sil, nrm, qual, d_m = jax.vmap(
+        fn, in_axes=(0, 0, 0, 0, None, None, 0, 0)
+    )(depths, colors, cv_xyz, cv_uv, bbox_min, bbox_max, depth_limits, camera_positions)
+    return SensorMaps(
+        depth=depth2, lab=lab, silhouette=sil, normal=nrm, quality=qual,
+        raw_depth=d_m, color=colors,
+    )

@@ -1,0 +1,312 @@
+"""TSDF raymarching — surface extraction + multi-sensor color blending.
+
+Exact math of glsl/tsdf_raymarch.fs, restructured for TPU: the per-ray
+while-loop with early exit (:92-110) becomes a fixed-trip ``lax.scan`` over
+step index, vectorized over all pixels, with a per-ray active mask (rays that
+already hit, or whose [t_near, t_far] interval is exhausted, are masked out).
+This is the SURVEY.md §7 "hard parts" answer to divergent marching: dense
+masked marching with a static step count; the secant refinement on sign
+change (:98-101) is reproduced bit-for-bit.
+
+Marching happens in volume-normalized coordinates [0,1]^3 with step length
+``tsdf_limit / 2`` (:34), exactly like the reference (pass_Position and
+CameraPos are volume-space there).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .sampling import bilinear_2d, trilinear_3d
+
+
+@dataclasses.dataclass(frozen=True)
+class ViewCamera:
+    """Virtual render camera (the reference's gloost PerspectiveCamera +
+    navigation, source/kinect_client.cpp:612-673)."""
+
+    width: int
+    height: int
+    fov_y: float = 50.0         # degrees (kinect_client.cpp camera init)
+    near: float = 0.1
+    far: float = 20.0
+    eye: Tuple[float, float, float] = (0.0, 1.2, 3.0)
+    target: Tuple[float, float, float] = (0.0, 1.1, 0.0)
+    up: Tuple[float, float, float] = (0.0, 1.0, 0.0)
+
+    def rotation(self) -> np.ndarray:
+        """Camera-to-world rotation, GL convention (x right, y up, z
+        backward — camera looks along -z)."""
+        eye = np.asarray(self.eye, np.float32)
+        tgt = np.asarray(self.target, np.float32)
+        fwd = tgt - eye
+        fwd /= np.linalg.norm(fwd)
+        up = np.asarray(self.up, np.float32)
+        right = np.cross(fwd, up)
+        right /= np.linalg.norm(right)
+        true_up = np.cross(right, fwd)
+        return np.stack([right, true_up, -fwd], axis=1)
+
+    def ray_directions_world(self) -> np.ndarray:
+        """(H, W, 3) un-normalized world-space ray directions through each
+        pixel center."""
+        H, W = self.height, self.width
+        aspect = W / H
+        tan_half = np.tan(np.radians(self.fov_y) * 0.5)
+        xs = ((np.arange(W, dtype=np.float32) + 0.5) / W * 2.0 - 1.0) * tan_half * aspect
+        ys = (1.0 - (np.arange(H, dtype=np.float32) + 0.5) / H * 2.0) * tan_half
+        xx, yy = np.meshgrid(xs, ys)
+        dirs_cam = np.stack([xx, yy, -np.ones_like(xx)], axis=-1)
+        return dirs_cam @ self.rotation().T
+
+    def world_to_view(self, p: jnp.ndarray) -> jnp.ndarray:
+        """World -> GL view space (camera at origin looking down -z)."""
+        r = jnp.asarray(self.rotation())
+        eye = jnp.asarray(np.asarray(self.eye, np.float32))
+        return (p - eye) @ r
+
+    def window_depth(self, view_z: jnp.ndarray) -> jnp.ndarray:
+        """GL window-space depth in [0,1] from positive view distance
+        (equivalent of tsdf_raymarch.fs:133's projection arithmetic)."""
+        n, f = self.near, self.far
+        z = jnp.maximum(view_z, n * 1.001)
+        return jnp.clip((1.0 / n - 1.0 / z) / (1.0 / n - 1.0 / f), 0.0, 1.0)
+
+
+def _intersect_unit_box(origin: jnp.ndarray, direction: jnp.ndarray):
+    """Slab test against [0,1]^3 (tsdf_raymarch.fs:371-382). t is in units
+    of |direction|."""
+    inv = 1.0 / direction
+    tbot = inv * (0.0 - origin)
+    ttop = inv * (1.0 - origin)
+    tmin = jnp.minimum(ttop, tbot)
+    tmax = jnp.maximum(ttop, tbot)
+    t0 = jnp.max(tmin, axis=-1)
+    t1 = jnp.min(tmax, axis=-1)
+    return t0, t1
+
+
+def march(
+    volume: jnp.ndarray,         # (Z, Y, X) TSDF
+    cam_pos_vol: jnp.ndarray,    # (3,) camera in volume-normalized coords
+    ray_dirs_vol: jnp.ndarray,   # (H, W, 3) directions in volume coords
+    limit: float,
+    max_steps: int,
+    start_end: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+):
+    """Core marching loop (tsdf_raymarch.fs:62-114).
+
+    Args:
+      start_end: optional per-pixel (start_pos (H,W,3), ray_length (H,W))
+        from the brick depth-interval pass (skipSpace path, :69-74).
+
+    Returns (hit (H,W) bool, hit_pos (H,W,3), num_samples (H,W) int32).
+    """
+    vol4 = volume[..., None]
+    sample_distance = limit * 0.5
+    dn = ray_dirs_vol / jnp.linalg.norm(ray_dirs_vol, axis=-1, keepdims=True)
+    step_vec = dn * sample_distance
+
+    if start_end is None:
+        t0, t1 = _intersect_unit_box(cam_pos_vol, step_vec)
+        is_t0 = t0 <= t1
+        t_near = jnp.where(is_t0, t0, t1)
+        t_near = jnp.maximum(t_near, 0.0)
+        t_far = jnp.where(is_t0, t1, t0)
+        pos0 = cam_pos_vol + step_vec * t_near[..., None]
+        max_num = jnp.ceil(jnp.abs(t_far - t_near)).astype(jnp.int32)
+        max_num = jnp.where(is_t0, max_num, 0)
+    else:
+        pos0, ray_len = start_end
+        max_num = jnp.ceil(ray_len / sample_distance).astype(jnp.int32)
+
+    H, W = ray_dirs_vol.shape[:2]
+    init = (
+        jnp.zeros((H, W), bool),                    # hit
+        jnp.full((H, W), -limit, jnp.float32),      # prev_density (:89)
+        jnp.zeros((H, W, 3), jnp.float32),          # hit_pos
+        jnp.zeros((H, W), jnp.int32),               # num_samples
+    )
+
+    def body(carry, k):
+        hit, prev, hit_pos, num = carry
+        active = (~hit) & (k < max_num)
+        pos = pos0 + step_vec * k.astype(jnp.float32)
+        density = trilinear_3d(vol4, pos)[..., 0]
+        found = active & (density > 0.0)
+        denom = density - prev
+        refined = (pos - step_vec) - step_vec * (
+            prev / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+        )[..., None]
+        hit_pos = jnp.where(found[..., None], refined, hit_pos)
+        num = jnp.where(active, num + 1, num)
+        prev = jnp.where(active, density, prev)
+        return (hit | found, prev, hit_pos, num), None
+
+    (hit, _, hit_pos, num), _ = jax.lax.scan(
+        body, init, jnp.arange(max_steps, dtype=jnp.int32)
+    )
+    return hit, hit_pos, num
+
+
+def gradient_normal(volume: jnp.ndarray, pos: jnp.ndarray, limit: float) -> jnp.ndarray:
+    """Central-difference TSDF gradient, negated and normalized
+    (get_gradient, tsdf_raymarch.fs:148-157). In volume-normalized space."""
+    vol4 = volume[..., None]
+    sd = limit * 0.5
+    ex = jnp.array([sd, 0, 0], jnp.float32)
+    ey = jnp.array([0, sd, 0], jnp.float32)
+    ez = jnp.array([0, 0, sd], jnp.float32)
+
+    def s(p):
+        return trilinear_3d(vol4, p)[..., 0]
+
+    g = jnp.stack(
+        [
+            s(pos + ex) - s(pos - ex),
+            s(pos + ey) - s(pos - ey),
+            s(pos + ez) - s(pos - ez),
+        ],
+        axis=-1,
+    )
+    return -g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-20)
+
+
+def blend_colors(
+    sample_pos: jnp.ndarray,     # (..., 3) volume-normalized hit positions
+    cv_xyz_inv: jnp.ndarray,     # (N, Dz, Hy, Wx, 4)
+    cv_uv: jnp.ndarray,          # (N, D, Hv, Wv, 2)
+    colors: jnp.ndarray,         # (N, Hc, Wc, 3)
+    depths: jnp.ndarray,         # (N, H, W)
+    qualities: jnp.ndarray,      # (N, H, W)
+    limit: float,
+):
+    """Per-sensor color lookup + quality/inverse-distance blending
+    (blendColors, tsdf_raymarch.fs:303-338).
+
+    Returns (..., 4) rgba; alpha 1 when quality blending applied, -1 when the
+    inverse-distance fallback was used.
+    """
+    num_sensors = colors.shape[0]
+    total_c = jnp.zeros(sample_pos.shape[:-1] + (3,), jnp.float32)
+    total_w = jnp.zeros(sample_pos.shape[:-1], jnp.float32)
+    total_c2 = jnp.zeros_like(total_c)
+    total_w2 = jnp.zeros_like(total_w)
+
+    for i in range(num_sensors):
+        pos_calib = trilinear_3d(cv_xyz_inv[i], sample_pos)[..., :3]
+        pos_color = trilinear_3d(cv_uv[i], pos_calib)[..., :2]
+        col = bilinear_2d(colors[i], pos_color)
+        depth = bilinear_2d(depths[i][..., None], pos_calib[..., :2])[..., 0]
+        dist = jnp.abs(depth - pos_calib[..., 2])
+        qual = bilinear_2d(qualities[i][..., None], pos_calib[..., :2])[..., 0]
+        qual = jnp.where(dist < limit, qual, 0.0)  # :317-321
+
+        w = qual / (dist + 0.01)
+        total_c = total_c + col * w[..., None]
+        total_w = total_w + w
+        w2 = 1.0 / jnp.maximum(dist, 1e-20)
+        total_c2 = total_c2 + col * w2[..., None]
+        total_w2 = total_w2 + w2
+
+    use_primary = total_w > 0.0
+    primary = total_c / jnp.maximum(total_w, 1e-20)[..., None]
+    fallback = total_c2 / jnp.maximum(total_w2, 1e-20)[..., None]
+    rgb = jnp.where(use_primary[..., None], primary, fallback)
+    alpha = jnp.where(use_primary, 1.0, -1.0)
+    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+
+
+def blend_cameras(
+    sample_pos: jnp.ndarray,
+    cv_xyz_inv: jnp.ndarray,
+    depths: jnp.ndarray,
+    qualities: jnp.ndarray,
+    limit: float,
+):
+    """Camera-influence debug view (blendCameras + getWeights,
+    tsdf_raymarch.fs:159-174, 354-369): fixed per-camera palette from
+    shading.glsl:24-30 blended by in-range quality."""
+    palette = jnp.asarray(
+        np.array(
+            [
+                [228, 26, 28], [55, 126, 184], [77, 175, 74],
+                [152, 78, 163], [255, 127, 0],
+            ],
+            np.float32,
+        )
+        / 255.0
+    )
+    num_sensors = depths.shape[0]
+    total_c = jnp.zeros(sample_pos.shape[:-1] + (3,), jnp.float32)
+    total_w = jnp.zeros(sample_pos.shape[:-1], jnp.float32)
+    for i in range(num_sensors):
+        pos_calib = trilinear_3d(cv_xyz_inv[i], sample_pos)[..., :3]
+        depth = bilinear_2d(depths[i][..., None], pos_calib[..., :2])[..., 0]
+        dist = jnp.abs(depth - pos_calib[..., 2])
+        qual = bilinear_2d(qualities[i][..., None], pos_calib[..., :2])[..., 0]
+        qual = jnp.where(dist < limit, qual, 0.0)
+        total_c = total_c + palette[i % 5] * qual[..., None]
+        total_w = total_w + qual
+    out = total_c / jnp.maximum(total_w, 1e-20)[..., None]
+    return jnp.where(total_w[..., None] > 0.0, out, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Blinn-Phong shading (glsl/shading.glsl)
+# ---------------------------------------------------------------------------
+
+_LIGHT_POSITION = (1.5, 1.0, 1.0)       # view space (shading.glsl:5)
+_LIGHT_DIFFUSE = (1.0, 0.9, 0.7)
+_LIGHT_SPECULAR = (1.0, 1.0, 1.0)
+_KS = 0.5
+_SHININESS = 20.0
+_SOLID_DIFFUSE = 0.5
+
+
+def shade(view_pos: jnp.ndarray, view_normal: jnp.ndarray, diffuse: jnp.ndarray,
+          shade_mode: int = 0, world_normal: jnp.ndarray = None) -> jnp.ndarray:
+    """shading.glsl:32-69. view_pos/view_normal in GL view space."""
+    if shade_mode == 0:
+        return diffuse
+    if shade_mode == 2:
+        return world_normal if world_normal is not None else view_normal
+    if shade_mode != 1:
+        return jnp.ones_like(diffuse)
+
+    light_pos = jnp.asarray(_LIGHT_POSITION, jnp.float32)
+    to_light = light_pos - view_pos
+    to_light = to_light / jnp.maximum(
+        jnp.linalg.norm(to_light, axis=-1, keepdims=True), 1e-20
+    )
+    light_angle = jnp.sum(view_normal * to_light, axis=-1)
+    lit = light_angle > 0.0
+
+    diff = jnp.maximum(light_angle, 0.0)
+    to_viewer = -view_pos / jnp.maximum(
+        jnp.linalg.norm(view_pos, axis=-1, keepdims=True), 1e-20
+    )
+    halfway = to_light + to_viewer
+    halfway = halfway / jnp.maximum(
+        jnp.linalg.norm(halfway, axis=-1, keepdims=True), 1e-20
+    )
+    spec = jnp.power(jnp.maximum(jnp.sum(halfway * view_normal, axis=-1), 1e-20),
+                     _SHININESS)
+    a = (1.0 - light_angle) ** 2
+    spec = spec * (1.0 - a**3)
+
+    diff = jnp.where(lit, diff, 0.0)
+    spec = jnp.where(lit, spec, 0.0)
+
+    amb = jnp.asarray(_LIGHT_DIFFUSE, jnp.float32) * 0.2 * _SOLID_DIFFUSE
+    out = (
+        amb
+        + jnp.asarray(_LIGHT_DIFFUSE, jnp.float32) * _SOLID_DIFFUSE * diff[..., None]
+        + jnp.asarray(_LIGHT_SPECULAR, jnp.float32) * _KS * spec[..., None]
+    )
+    return out

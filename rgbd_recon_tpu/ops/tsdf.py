@@ -1,0 +1,73 @@
+"""TSDF integration — weighted multi-sensor fusion into the volume.
+
+Exact math of glsl/tsdf_integration.vs:23-58, restructured for TPU: instead
+of one vertex-shader thread per voxel with a sensor loop, the whole volume is
+a dense (Z, Y, X) array and the sensor loop is an unrolled scan whose body is
+fully vectorized over all voxels (gathers through cv_xyz_inv + sensor maps).
+
+Per voxel (volume-normalized position p), per sensor i in order:
+  pos_calib = cv_xyz_inv[i](p)                       (:31)
+  silhouette carve: sil < 1 and nothing written yet -> tsd = -limit, skip
+                                                      (:32-39)
+  sdist = pos_calib.z - depth_i(pos_calib.xy)        (:40-41)
+  sdist <= -limit -> tsd = -limit                    (:42-45)
+  sdist >= +limit -> skip                            (:46-48)
+  else quality-weighted running average              (:49-54)
+Initial value +limit (:28); voxels of unoccupied bricks keep the clear value
+-limit (clearImage, recon_integration.cpp:250-251).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from .sampling import bilinear_2d, trilinear_3d
+
+
+def integrate(
+    voxel_pos: jnp.ndarray,      # (Z, Y, X, 3) volume-normalized voxel centers
+    cv_xyz_inv: jnp.ndarray,     # (N, Dz, Hy, Wx, 4)
+    depths: jnp.ndarray,         # (N, H, W) processed normalized depth
+    qualities: jnp.ndarray,      # (N, H, W)
+    silhouettes: jnp.ndarray,    # (N, H, W)
+    limit: float,
+    voxel_mask: Optional[jnp.ndarray] = None,  # (Z, Y, X) bool brick gating
+) -> jnp.ndarray:
+    """Returns the fused TSDF volume (Z, Y, X) float32 in [-limit, +limit]."""
+    num_sensors = depths.shape[0]
+
+    tsd = jnp.full(voxel_pos.shape[:-1], limit, jnp.float32)
+    total_w = jnp.zeros_like(tsd)
+
+    for i in range(num_sensors):
+        pos_calib = trilinear_3d(cv_xyz_inv[i], voxel_pos)[..., :3]
+        uv = pos_calib[..., :2]
+        sil = bilinear_2d(silhouettes[i][..., None], uv)[..., 0]
+        depth = bilinear_2d(depths[i][..., None], uv)[..., 0]
+        qual = bilinear_2d(qualities[i][..., None], uv)[..., 0]
+
+        # silhouette carve (:32-39): only when no sensor has written yet
+        carve = (sil < 1.0) & (tsd >= limit)
+
+        sdist = pos_calib[..., 2] - depth
+        behind = sdist <= -limit
+        skip = sdist >= limit
+
+        new_w = total_w + qual
+        updated = jnp.where(
+            new_w > 0.0, (tsd * total_w + qual * sdist) / jnp.maximum(new_w, 1e-20), tsd
+        )
+
+        tsd_next = jnp.where(
+            behind, -limit, jnp.where(skip, tsd, updated)
+        )
+        w_next = jnp.where(behind | skip, total_w, new_w)
+
+        tsd = jnp.where(carve, -limit, tsd_next)
+        total_w = jnp.where(carve, total_w, w_next)
+
+    if voxel_mask is not None:
+        tsd = jnp.where(voxel_mask, tsd, -limit)
+    return tsd
