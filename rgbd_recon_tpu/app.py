@@ -1,0 +1,329 @@
+"""Application shell — the kinect_client / calib_inverter equivalents.
+
+Headless CLI (the reference's GLFW/ImGui viewer becomes offline rendering +
+CSV instrumentation; SURVEY.md §7.7):
+
+  python -m rgbd_recon_tpu.app run scene.ks --conf settings.conf \
+      [--streams recordings/] [--frames N] [--out out/]
+        -> reconstruction loop: stream/synthetic frames -> TSDF fusion ->
+           raymarched PNGs + stage-timing CSV (time_limit honored)
+
+  python -m rgbd_recon_tpu.app invert scene.ks --voxel-size 0.01 --out dir/
+        -> offline inverse-calibration baking (calib_inverter.cpp:12-75)
+
+  python -m rgbd_recon_tpu.app record --out dir/ --frames N
+        -> synthesize a test scene into reference-format .stream files
+
+CLI flags follow the reference's CMDParser style where they map
+(framework/io/CMDParser.cpp; kinect_client.cpp:870-885).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _load_scene(ks_path, conf_path=None):
+    from .core.config import PipelineConfig, parse_conf, parse_ks
+
+    scene = parse_ks(ks_path)
+    config = PipelineConfig()
+    if conf_path:
+        config = PipelineConfig.from_conf(parse_conf(Path(conf_path).read_text()))
+    return scene, config
+
+
+def _build_calibration(scene, cv_res=(128, 256, 128), inv_res=None,
+                       voxel_size=0.01, depth_size=(128, 106),
+                       color_size=(160, 128)):
+    """Build a CalibrationSet from the scene's .yml files (analytic bake) or
+    from pre-baked .cv_xyz/.cv_uv/.cv_xyz_inv volumes when present."""
+    from .calib.kinect_yml import parse_kinect_yml
+    from .calib.sensors import build_synthetic_calibration
+    from .calib.volume_io import read_calibration_volume
+    from .core.camera import SensorRig
+
+    base = Path(scene.base_dir)
+    baked = []
+    sensors = []
+    missing = []
+    for name in scene.calib_files:
+        yml = base / name
+        stem = yml.with_suffix("")
+        cvx, cvu, cvi = (
+            Path(str(stem) + ".cv_xyz"),
+            Path(str(stem) + ".cv_uv"),
+            Path(str(stem) + ".cv_xyz_inv"),
+        )
+        if cvx.exists() and cvu.exists() and cvi.exists():
+            baked.append((cvx, cvu, cvi))
+        elif yml.exists():
+            sensors.append(parse_kinect_yml(yml).to_rgbd_sensor())
+        else:
+            missing.append(name)
+
+    if missing and not (baked or sensors):
+        # self-contained demo mode: no calibration data on disk -> build a
+        # synthetic rig matching the scene's sensor count
+        from .sensors.synthetic import default_test_rig
+
+        print(
+            f"warning: no calibration files found for {missing}; using a "
+            "synthetic rig", file=sys.stderr,
+        )
+        rig = default_test_rig(num_sensors=len(missing), bbox=scene.bbox,
+                               depth_size=tuple(depth_size),
+                               color_size=tuple(color_size))
+        sensors = list(rig.sensors)
+    elif missing:
+        raise FileNotFoundError(f"no calibration for {missing}")
+
+    if baked and not sensors:
+        import jax.numpy as jnp
+
+        from .calib.frustum import frustum_from_cv_xyz
+        from .calib.sensors import CalibrationSet
+
+        xs, us, invs, lims, cams = [], [], [], [], []
+        for cvx, cvu, cvi in baked:
+            vx, lim = read_calibration_volume(cvx, channels=3)
+            vu, _ = read_calibration_volume(cvu, channels=2)
+            vi, _ = read_calibration_volume(cvi, channels=4)
+            xs.append(vx)
+            us.append(vu)
+            invs.append(vi)
+            lims.append(lim)
+            cams.append(frustum_from_cv_xyz(vx).camera_position())
+        return CalibrationSet(
+            cv_xyz=jnp.asarray(np.stack(xs)),
+            cv_uv=jnp.asarray(np.stack(us)),
+            cv_xyz_inv=jnp.asarray(np.stack(invs)),
+            depth_limits=jnp.asarray(np.array(lims, np.float32)),
+            camera_positions=jnp.asarray(np.stack(cams)),
+            bbox_min=jnp.asarray(np.array(scene.bbox.min, np.float32)),
+            bbox_max=jnp.asarray(np.array(scene.bbox.max, np.float32)),
+        )
+
+    if sensors:
+        rig = SensorRig(sensors=tuple(sensors))
+        if inv_res is None:
+            size = scene.bbox.size
+            inv_res = tuple(int(np.ceil(s / voxel_size)) for s in size)
+        return build_synthetic_calibration(rig, scene.bbox, cv_res, inv_res)
+    raise ValueError("scene has no usable calibrations")
+
+
+def cmd_run(args):
+    import jax
+
+    from .bench import TimerDatabase
+    from .ops.raymarch import ViewCamera
+    from .recon import TsdfPipeline
+    from .recon.points import PointsPipeline
+    from .recon.trigrid import TrigridPipeline
+    from .sensors.frames import FrameSet
+
+    scene, config = _load_scene(args.scene, args.conf)
+    if args.mode is not None:
+        config.recon_mode = args.mode
+    calib = _build_calibration(
+        scene, inv_res=args.inv_res, voxel_size=config.voxel_size,
+        depth_size=tuple(args.depth_size), color_size=tuple(args.color_size),
+    )
+    num_sensors = calib.num_sensors
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    pipe = TsdfPipeline(calib, config, scene.bbox)
+    center = scene.bbox.center
+    camera = ViewCamera(
+        width=args.width, height=args.height,
+        eye=(center[0], center[1] + 0.2, center[2] + 2.6),
+        target=tuple(center.tolist()),
+    )
+    renderer = pipe.make_renderer(camera)
+    points_renderer = PointsPipeline(calib, config).make_renderer(camera)
+    trigrid_renderer = TrigridPipeline(calib, config).make_renderer(camera)
+
+    # frame source: .stream replay or synthetic fallback
+    def frame_iter():
+        if args.streams:
+            from .io.stream import StreamReader
+
+            # stream sizes must match --depth-size/--color-size
+            readers = []
+            sdirs = sorted(Path(args.streams).glob("*.stream"))
+            if len(sdirs) < num_sensors:
+                raise FileNotFoundError(
+                    f"need {num_sensors} .stream files in {args.streams}"
+                )
+            for p in sdirs[:num_sensors]:
+                readers.append(
+                    StreamReader(p, depth_size=tuple(args.depth_size),
+                                 color_size=tuple(args.color_size))
+                )
+            t = 0.0
+            while True:
+                colors, depths = [], []
+                for r in readers:
+                    c, d = r.read_frame()
+                    colors.append(c)
+                    depths.append(d)
+                yield t, np.stack(colors), np.stack(depths)
+                t += 1.0 / 30.0
+        else:
+            from .sensors.synthetic import SyntheticScene, default_test_rig, render_rig_frames
+
+            rig = default_test_rig(
+                num_sensors=num_sensors,
+                depth_size=tuple(args.depth_size),
+                color_size=tuple(args.color_size),
+                bbox=scene.bbox,
+            )
+            t = 0.0
+            while True:
+                sc = SyntheticScene(
+                    spheres=[((0.25 * np.sin(t), 1.1, 0.25 * np.cos(t)), 0.55)]
+                )
+                fr = render_rig_frames(sc, rig, t)
+                yield t, np.asarray(fr.colors), np.asarray(fr.depths)
+                t += 1.0 / 30.0
+
+    db = TimerDatabase()
+    import jax.numpy as jnp
+
+    start = time.time()
+    n_done = 0
+    for ts, colors, depths in frame_iter():
+        if args.frames and n_done >= args.frames:
+            break
+        if config.time_limit and time.time() - start > config.time_limit:
+            break
+        frames = FrameSet(
+            colors=jnp.asarray(colors), depths=jnp.asarray(depths),
+            timestamp=jnp.asarray(np.float32(ts)),
+        )
+        with db.time("1preprocess+2integrate"):
+            volume, maps, counts = pipe.fuse(frames)
+            jax.block_until_ready(volume)
+        with db.time("3recon"):
+            if config.recon_mode == 0:
+                img, _, _ = points_renderer(maps)
+            elif config.recon_mode == 2:
+                img, _, _ = trigrid_renderer(maps)
+            else:
+                out = renderer(volume, maps, counts)
+                img = out.color
+            jax.block_until_ready(img)
+        if args.save_renders:
+            from .viz import save_image
+
+            save_image(out_dir / f"frame_{n_done:04d}.png", np.asarray(img))
+        n_done += 1
+        print(f"frame {n_done} t={ts:.2f}", file=sys.stderr)
+
+    csv_text = db.write_csv(out_dir / "timings.csv")
+    print(csv_text, file=sys.stderr)
+    print(f"processed {n_done} frames -> {out_dir}")
+
+
+def cmd_invert(args):
+    """Offline inverse-calibration baking (source/calib_inverter.cpp)."""
+    from .calib.inverter import invert_calibration_knn
+    from .calib.volume_io import read_calibration_volume, write_calibration_volume
+    from .core.config import parse_ks
+
+    scene = parse_ks(args.scene)
+    base = Path(scene.base_dir)
+    size = scene.bbox.size
+    res = tuple(int(np.ceil(s / args.voxel_size)) for s in size)
+    out_dir = Path(args.out or base)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for name in scene.calib_files:
+        stem = (base / name).with_suffix("")
+        cv_path = Path(str(stem) + ".cv_xyz")
+        vol, limits = read_calibration_volume(cv_path, channels=3)
+        print(f"inverting {cv_path} at res {res}", file=sys.stderr)
+        inv = invert_calibration_knn(vol, scene.bbox, res)
+        out_path = out_dir / (cv_path.name + "_inv")
+        write_calibration_volume(out_path, inv, limits)
+        print(f"wrote {out_path}")
+
+
+def cmd_record(args):
+    """Synthesize a moving-sphere sequence into .stream files."""
+    from .core.grid import BoundingBox
+    from .io.stream import StreamWriter
+    from .sensors.synthetic import SyntheticScene, default_test_rig, render_rig_frames
+
+    bbox = BoundingBox(min=(-1.0, 0.0, -1.0), max=(1.0, 2.2, 1.0))
+    rig = default_test_rig(
+        num_sensors=args.sensors,
+        depth_size=tuple(args.depth_size), color_size=tuple(args.color_size),
+        bbox=bbox,
+    )
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    writers = [
+        StreamWriter(out / f"{s.serial or f'sensor{i}'}.stream")
+        for i, s in enumerate(rig.sensors)
+    ]
+    for f in range(args.frames):
+        t = f / 30.0
+        scene = SyntheticScene(
+            spheres=[((0.25 * np.sin(t), 1.1, 0.25 * np.cos(t)), 0.55)]
+        )
+        fr = render_rig_frames(scene, rig, t)
+        for i, w in enumerate(writers):
+            w.write_frame(np.asarray(fr.colors[i]), np.asarray(fr.depths[i]))
+        print(f"recorded frame {f}", file=sys.stderr)
+    for w in writers:
+        w.close()
+    print(f"wrote {len(writers)} stream files x {args.frames} frames -> {out}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="rgbd_recon_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="reconstruction loop")
+    pr.add_argument("scene", help=".ks scene file")
+    pr.add_argument("--conf", help=".conf settings file")
+    pr.add_argument("--streams", help="directory of .stream recordings")
+    pr.add_argument("--frames", type=int, default=10)
+    pr.add_argument("--mode", type=int, default=None,
+                    help="recon mode override (0 points, 1 tsdf, 2 trigrid)")
+    pr.add_argument("--out", default="out")
+    pr.add_argument("--width", type=int, default=640)
+    pr.add_argument("--height", type=int, default=360)
+    pr.add_argument("--depth-size", type=int, nargs=2, default=(128, 106))
+    pr.add_argument("--color-size", type=int, nargs=2, default=(160, 128))
+    pr.add_argument("--inv-res", type=int, nargs=3, default=None)
+    pr.add_argument("--save-renders", action="store_true", default=True)
+    pr.set_defaults(fn=cmd_run)
+
+    pi = sub.add_parser("invert", help="bake inverse calibration volumes")
+    pi.add_argument("scene", help=".ks scene file")
+    pi.add_argument("--voxel-size", type=float, default=0.01)
+    pi.add_argument("--out")
+    pi.set_defaults(fn=cmd_invert)
+
+    pc = sub.add_parser("record", help="synthesize .stream recordings")
+    pc.add_argument("--out", default="recordings")
+    pc.add_argument("--frames", type=int, default=30)
+    pc.add_argument("--sensors", type=int, default=4)
+    pc.add_argument("--depth-size", type=int, nargs=2, default=(128, 106))
+    pc.add_argument("--color-size", type=int, nargs=2, default=(160, 128))
+    pc.set_defaults(fn=cmd_record)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -107,6 +107,7 @@ class PipelineConfig:
     time_limit: int = 0            # benchmark seconds; 0 = unlimited
     num_lods: int = 7              # pull-push pyramid depth
     shade_mode: int = 0            # 0 textured,1 shaded,2 normals,3 cam blend
+    precompute_projections: bool = True  # hoist cv_xyz_inv gathers (perf)
 
     @classmethod
     def from_conf(cls, conf: Dict[str, ConfValue]) -> "PipelineConfig":

@@ -120,7 +120,10 @@ def march(
         t_far = jnp.where(is_t0, t1, t0)
         pos0 = cam_pos_vol + step_vec * t_near[..., None]
         max_num = jnp.ceil(jnp.abs(t_far - t_near)).astype(jnp.int32)
-        max_num = jnp.where(is_t0, max_num, 0)
+        # rays that never rasterize the cube's back faces spawn no
+        # fragments in the reference (tsdf_raymarch runs on cube geometry);
+        # equivalently: no intersection, or the box is behind the camera
+        max_num = jnp.where(is_t0 & (t_far > t_near), max_num, 0)
     else:
         pos0, ray_len = start_end
         max_num = jnp.ceil(ray_len / sample_distance).astype(jnp.int32)
@@ -199,18 +202,20 @@ def blend_colors(
     total_w2 = jnp.zeros_like(total_w)
 
     for i in range(num_sensors):
-        pos_calib = trilinear_3d(cv_xyz_inv[i], sample_pos)[..., :3]
+        lookup = trilinear_3d(cv_xyz_inv[i], sample_pos)
+        pos_calib = lookup[..., :3]
+        in_frustum = lookup[..., 3] > 0.99  # see ops/tsdf.py validity note
         pos_color = trilinear_3d(cv_uv[i], pos_calib)[..., :2]
         col = bilinear_2d(colors[i], pos_color)
         depth = bilinear_2d(depths[i][..., None], pos_calib[..., :2])[..., 0]
         dist = jnp.abs(depth - pos_calib[..., 2])
         qual = bilinear_2d(qualities[i][..., None], pos_calib[..., :2])[..., 0]
-        qual = jnp.where(dist < limit, qual, 0.0)  # :317-321
+        qual = jnp.where((dist < limit) & in_frustum, qual, 0.0)  # :317-321
 
         w = qual / (dist + 0.01)
         total_c = total_c + col * w[..., None]
         total_w = total_w + w
-        w2 = 1.0 / jnp.maximum(dist, 1e-20)
+        w2 = jnp.where(in_frustum, 1.0 / jnp.maximum(dist, 1e-20), 0.0)
         total_c2 = total_c2 + col * w2[..., None]
         total_w2 = total_w2 + w2
 

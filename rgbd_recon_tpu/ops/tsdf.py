@@ -19,11 +19,34 @@ Initial value +limit (:28); voxels of unoccupied bricks keep the clear value
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
 from .sampling import bilinear_2d, trilinear_3d
+
+
+def precompute_projections(
+    voxel_pos: jnp.ndarray, cv_xyz_inv: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Hoist the frame-invariant cv_xyz_inv lookups out of the per-frame
+    integration: the voxel grid and calibration volumes are both static, so
+    each voxel's per-sensor (u, v, depth_norm) projection is a constant.
+
+    This is the TPU answer to the reference's per-voxel texture fetches
+    (tsdf_integration.vs:31): one big gather at calibration time instead of
+    one per frame, turning the per-frame kernel into pure elementwise math +
+    small-map bilinear gathers.
+
+    Returns (pos_calib (N, Z, Y, X, 3), in_frustum (N, Z, Y, X) bool).
+    """
+    import jax
+
+    def one(inv):
+        lookup = trilinear_3d(inv, voxel_pos)
+        return lookup[..., :3], lookup[..., 3] > 0.99
+
+    return jax.lax.map(one, cv_xyz_inv)
 
 
 def integrate(
@@ -34,26 +57,42 @@ def integrate(
     silhouettes: jnp.ndarray,    # (N, H, W)
     limit: float,
     voxel_mask: Optional[jnp.ndarray] = None,  # (Z, Y, X) bool brick gating
+    projections: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> jnp.ndarray:
-    """Returns the fused TSDF volume (Z, Y, X) float32 in [-limit, +limit]."""
+    """Returns the fused TSDF volume (Z, Y, X) float32 in [-limit, +limit].
+
+    Pass `projections` from :func:`precompute_projections` to skip the
+    per-frame cv_xyz_inv gathers (identical math, large speedup)."""
     num_sensors = depths.shape[0]
 
     tsd = jnp.full(voxel_pos.shape[:-1], limit, jnp.float32)
     total_w = jnp.zeros_like(tsd)
 
     for i in range(num_sensors):
-        pos_calib = trilinear_3d(cv_xyz_inv[i], voxel_pos)[..., :3]
+        if projections is not None:
+            pos_calib = projections[0][i]
+            in_frustum = projections[1][i]
+        else:
+            lookup = trilinear_3d(cv_xyz_inv[i], voxel_pos)
+            pos_calib = lookup[..., :3]
+            # validity channel (w = 1 in-frustum, -1 outside,
+            # calibration_inverter.cpp:128,141): voxels whose trilinear
+            # lookup mixes invalid texels would read garbage projections.
+            # The reference skips this check (its bbox is strictly inside
+            # every frustum); we gate on it so partial-coverage rigs stay
+            # correct.
+            in_frustum = lookup[..., 3] > 0.99
         uv = pos_calib[..., :2]
         sil = bilinear_2d(silhouettes[i][..., None], uv)[..., 0]
         depth = bilinear_2d(depths[i][..., None], uv)[..., 0]
         qual = bilinear_2d(qualities[i][..., None], uv)[..., 0]
 
         # silhouette carve (:32-39): only when no sensor has written yet
-        carve = (sil < 1.0) & (tsd >= limit)
+        carve = (sil < 1.0) & (tsd >= limit) & in_frustum
 
         sdist = pos_calib[..., 2] - depth
-        behind = sdist <= -limit
-        skip = sdist >= limit
+        behind = (sdist <= -limit) & in_frustum
+        skip = (sdist >= limit) | ~in_frustum
 
         new_w = total_w + qual
         updated = jnp.where(

@@ -72,6 +72,14 @@ class TsdfPipeline:
         self.voxel_to_brick = jnp.asarray(
             self.brick_grid.voxel_to_brick_map(self.volume_grid)
         )
+        # frame-invariant per-voxel projections (ops/tsdf.py): one gather at
+        # setup instead of one per frame
+        if self.config.precompute_projections:
+            self.projections = jax.jit(tsdf.precompute_projections)(
+                self.voxel_pos, self.calib.cv_xyz_inv
+            )
+        else:
+            self.projections = None
         self._preprocess = jax.jit(self._preprocess_impl)
         self._integrate = jax.jit(self._integrate_impl)
         self._fuse = jax.jit(self._fuse_impl)
@@ -135,6 +143,7 @@ class TsdfPipeline:
             maps.silhouette,
             c.tsdf_limit,
             voxel_mask=mask,
+            projections=self.projections,
         )
 
     def _fuse_impl(self, frames: FrameSet) -> Tuple[jnp.ndarray, SensorMaps, jnp.ndarray]:
@@ -154,7 +163,12 @@ class TsdfPipeline:
         """One fused frame update: preprocess + mark + integrate."""
         return self._fuse(frames)
 
-    def make_renderer(self, camera: raymarch.ViewCamera, max_steps: Optional[int] = None):
+    def make_renderer(
+        self,
+        camera: raymarch.ViewCamera,
+        max_steps: Optional[int] = None,
+        jit_compile: bool = True,
+    ):
         """Returns a jitted render(volume, maps, brick_counts) -> RenderOutput
         for a fixed virtual camera (rays are static w.r.t. the camera)."""
         c = self.config
@@ -248,7 +262,7 @@ class TsdfPipeline:
                 color=color, depth=depth_out, hit=hit, num_samples=num
             )
 
-        return jax.jit(render)
+        return jax.jit(render) if jit_compile else render
 
 
 def raymarch_brick_interval(

@@ -1,0 +1,171 @@
+"""Raymarch kernel tests: analytic-sphere accuracy, secant refinement,
+space skipping, shading."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rgbd_recon_tpu.core.grid import BoundingBox, VolumeGrid
+from rgbd_recon_tpu.ops import raymarch
+from rgbd_recon_tpu.ops.holefill import fill_colors
+
+BBOX = BoundingBox(min=(-1.0, 0.0, -1.0), max=(1.0, 2.2, 1.0))
+
+
+def _sphere_volume(grid: VolumeGrid, center, radius, limit):
+    """Analytic truncated SDF volume. Sign convention matches the
+    integration kernel: negative outside/behind-carved, positive... the
+    reference marches until density > 0 means *inside* — build -sdf."""
+    centers = BBOX.denormalize(grid.voxel_centers_normalized())
+    sdf = np.linalg.norm(centers - np.asarray(center, np.float32), axis=-1) - radius
+    return jnp.asarray(np.clip(-sdf, -limit, limit).astype(np.float32))
+
+
+def test_march_hits_sphere_accurately():
+    grid = VolumeGrid(bbox=BBOX, voxel_size=0.02)
+    limit = 0.02
+    vol = _sphere_volume(grid, (0.0, 1.1, 0.0), 0.5, limit)
+
+    cam = raymarch.ViewCamera(width=48, height=40, eye=(0.0, 1.1, 2.5),
+                              target=(0.0, 1.1, 0.0))
+    eye_vol = jnp.asarray(BBOX.normalize(np.asarray(cam.eye, np.float32)))
+    dirs = jnp.asarray(cam.ray_directions_world() / BBOX.size)
+
+    hit, hit_pos, num = raymarch.march(vol, eye_vol, dirs, limit, max_steps=300)
+    hit = np.asarray(hit)
+    assert hit.sum() > 100
+
+    world = BBOX.denormalize(np.asarray(hit_pos))
+    d_err = np.abs(
+        np.linalg.norm(world[hit] - np.array([0.0, 1.1, 0.0]), axis=-1) - 0.5
+    )
+    # secant refinement should land well within a voxel of the surface
+    assert np.median(d_err) < 0.01
+    assert d_err.max() < 0.05
+
+
+def test_march_misses_empty_volume():
+    grid = VolumeGrid(bbox=BBOX, voxel_size=0.1)
+    vol = jnp.full(grid.shape, -0.02, jnp.float32)
+    cam = raymarch.ViewCamera(width=16, height=12, eye=(0.0, 1.1, 2.5))
+    eye_vol = jnp.asarray(BBOX.normalize(np.asarray(cam.eye, np.float32)))
+    dirs = jnp.asarray(cam.ray_directions_world() / BBOX.size)
+    hit, _, num = raymarch.march(vol, eye_vol, dirs, 0.02, max_steps=200)
+    assert not np.asarray(hit).any()
+    assert np.asarray(num).max() > 0  # rays did march through the box
+
+
+def test_march_ray_outside_box_samples_zero():
+    grid = VolumeGrid(bbox=BBOX, voxel_size=0.1)
+    vol = jnp.full(grid.shape, 0.02, jnp.float32)  # everything "inside"
+    cam = raymarch.ViewCamera(width=8, height=8, eye=(0.0, 1.1, 5.0),
+                              target=(0.0, 1.1, 10.0))  # looking away
+    eye_vol = jnp.asarray(BBOX.normalize(np.asarray(cam.eye, np.float32)))
+    dirs = jnp.asarray(cam.ray_directions_world() / BBOX.size)
+    hit, _, num = raymarch.march(vol, eye_vol, dirs, 0.02, max_steps=100)
+    assert not np.asarray(hit).any()
+
+
+def test_gradient_normal_sphere():
+    grid = VolumeGrid(bbox=BBOX, voxel_size=0.02)
+    limit = 0.02
+    vol = _sphere_volume(grid, (0.0, 1.1, 0.0), 0.5, limit)
+    # points on the +z surface of the sphere, in volume coords
+    p_world = np.array([[0.0, 1.1, 0.5]], np.float32)
+    p_vol = jnp.asarray(BBOX.normalize(p_world))
+    g = np.asarray(raymarch.gradient_normal(vol, p_vol, limit))[0]
+    # gradient is in volume space; world normal ~ g / bbox_size normalized
+    n_world = g / BBOX.size
+    n_world /= np.linalg.norm(n_world)
+    np.testing.assert_allclose(n_world, [0.0, 0.0, 1.0], atol=0.05)
+
+
+def test_shade_modes():
+    view_pos = jnp.asarray(np.array([[0.0, 0.0, -2.0]], np.float32))
+    view_normal = jnp.asarray(np.array([[0.0, 0.0, 1.0]], np.float32))
+    diffuse = jnp.asarray(np.array([[0.3, 0.6, 0.9]], np.float32))
+    # mode 0: textured passthrough
+    np.testing.assert_allclose(
+        np.asarray(raymarch.shade(view_pos, view_normal, diffuse, 0)), [[0.3, 0.6, 0.9]]
+    )
+    # mode 1: lit Blinn-Phong is positive and bounded
+    lit = np.asarray(raymarch.shade(view_pos, view_normal, diffuse, 1))
+    assert (lit > 0).all() and (lit < 2.0).all()
+    # unlit face gets ambient only
+    away = jnp.asarray(np.array([[0.0, 0.0, -1.0]], np.float32))
+    amb = np.asarray(raymarch.shade(view_pos, away, diffuse, 1))
+    np.testing.assert_allclose(amb, np.asarray([1.0, 0.9, 0.7]) * 0.2 * 0.5, rtol=1e-5)
+
+
+def test_blend_colors_fallback_alpha():
+    """When no sensor is depth-consistent at the sample, alpha = -1 and the
+    inverse-distance fallback is used (tsdf_raymarch.fs:329-337)."""
+    inv = np.zeros((1, 2, 2, 2, 4), np.float32)
+    inv[..., 0] = 0.5
+    inv[..., 1] = 0.5
+    inv[..., 2] = 0.9  # voxel projects far from measured depth
+    cv_uv = np.full((1, 2, 2, 2, 2), 0.5, np.float32)
+    colors = np.full((1, 4, 4, 3), 0.7, np.float32)
+    depths = np.full((1, 4, 4), 0.2, np.float32)
+    quals = np.ones((1, 4, 4), np.float32)
+    pos = jnp.asarray(np.full((5, 3), 0.5, np.float32))
+    out = np.asarray(
+        raymarch.blend_colors(
+            pos, jnp.asarray(inv), jnp.asarray(cv_uv), jnp.asarray(colors),
+            jnp.asarray(depths), jnp.asarray(quals), 0.01,
+        )
+    )
+    np.testing.assert_allclose(out[:, 3], -1.0)
+    np.testing.assert_allclose(out[:, :3], 0.7, rtol=1e-5)
+
+    # depth-consistent case: alpha = +1
+    inv2 = inv.copy()
+    inv2[..., 2] = 0.2
+    out2 = np.asarray(
+        raymarch.blend_colors(
+            pos, jnp.asarray(inv2), jnp.asarray(cv_uv), jnp.asarray(colors),
+            jnp.asarray(depths), jnp.asarray(quals), 0.01,
+        )
+    )
+    np.testing.assert_allclose(out2[:, 3], 1.0)
+
+
+def test_holefill_fills_small_hole():
+    """A hole in an otherwise valid image gets plausible colors from the
+    pyramid; valid pixels keep their LOD0 value after push."""
+    H, W = 32, 32
+    rgba = np.zeros((H, W, 4), np.float32)
+    rgba[..., 0] = 0.8
+    rgba[..., 1] = 0.4
+    rgba[..., 3] = 1.0
+    depth = np.full((H, W), 0.5, np.float32)
+    # punch a hole (failed rays: alpha 0, depth 1... but surface behind ->
+    # reference semantics: raymarch discard leaves clear depth 1.0)
+    rgba[14:18, 14:18] = 0.0
+    depth[14:18, 14:18] = 1.0
+    out, d = fill_colors(jnp.asarray(rgba), jnp.asarray(depth), num_lods=5)
+    out = np.asarray(out)
+    # valid pixels unchanged
+    np.testing.assert_allclose(out[4, 4, :3], [0.8, 0.4, 0.0], atol=1e-5)
+    # hole pixels pulled from surrounding color
+    hole = out[15, 15, :3]
+    assert abs(hole[0] - 0.8) < 0.3 and abs(hole[1] - 0.4) < 0.3
+
+
+def test_holefill_respects_far_side_rule():
+    """Pull keeps only samples at/behind the window average depth
+    (tsdf_inpaint.fs:77)."""
+    H, W = 8, 8
+    rgba = np.zeros((H, W, 4), np.float32)
+    depth = np.full((H, W), 1.0, np.float32)
+    # two valid pixels in one pull window: near (0.2, red) and far (0.8, blue)
+    rgba[0, 0] = [1.0, 0.0, 0.0, 1.0]
+    depth[0, 0] = 0.2
+    rgba[0, 1] = [0.0, 0.0, 1.0, 1.0]
+    depth[0, 1] = 0.8
+    from rgbd_recon_tpu.ops.holefill import pull
+
+    c1, d1 = pull(jnp.asarray(rgba), jnp.asarray(depth))
+    c1, d1 = np.asarray(c1), np.asarray(d1)
+    # avg = 0.5 -> only the far (blue) sample survives
+    np.testing.assert_allclose(c1[0, 0, :3], [0.0, 0.0, 1.0], atol=1e-6)
+    np.testing.assert_allclose(d1[0, 0], 0.8, atol=1e-6)
