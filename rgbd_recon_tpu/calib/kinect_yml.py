@@ -35,8 +35,17 @@ def _floats_after(tokens, key, count):
         i = tokens.index(key)
     except ValueError:
         return None
+    # OpenCV matrices may carry a `rows:/cols:/dt:` header before `data:`
+    # whose integers must not be read as matrix entries; skip to `data:`
+    # when present (the reference token scanner does the same by seeking
+    # the value stream, KinectCalibrationFile.cpp:98-146).
+    rest = tokens[i + 1:]
+    for j, tok in enumerate(rest[:8]):
+        if tok == "data:":
+            rest = rest[j + 1:]
+            break
     vals = []
-    for tok in tokens[i + 1:]:
+    for tok in rest:
         for m in _NUM_RE.finditer(tok):
             vals.append(float(m.group()))
             if len(vals) == count:

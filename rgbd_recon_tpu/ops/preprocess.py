@@ -60,6 +60,40 @@ def _shifted(padded: jnp.ndarray, k: int, dy: int, dx: int, H: int, W: int):
     return padded[k + dy : k + dy + H, k + dx : k + dx + W]
 
 
+def _stencil_scan(padded: jnp.ndarray, k: int, H: int, W: int, body, init):
+    """Fold `body(acc, shifted_window, dy, dx)` over all (2k+1)^2 offsets of
+    a (H+2k, W+2k, ...) edge-padded array with ``lax.scan``.
+
+    Large stencils (the reference's 13x13 bilateral/quality windows,
+    pre_depth.fs:85-127 / pre_quality.fs:65-119) must NOT be Python-unrolled:
+    169 unrolled gathers per sensor produce an HLO too large to compile
+    efficiently (and too large for remote-compile transports). A scan keeps
+    the program a single small body; XLA keeps the window slices in VMEM.
+
+    `body` receives float32 (dy, dx) offsets from the window center.
+    """
+    offs = jnp.stack(
+        jnp.meshgrid(
+            jnp.arange(-k, k + 1, dtype=jnp.int32),
+            jnp.arange(-k, k + 1, dtype=jnp.int32),
+            indexing="ij",
+        ),
+        axis=-1,
+    ).reshape(-1, 2)
+
+    def step(acc, off):
+        dy, dx = off[0], off[1]
+        sl = jax.lax.dynamic_slice(
+            padded,
+            (k + dy, k + dx) + (0,) * (padded.ndim - 2),
+            (H, W) + padded.shape[2:],
+        )
+        return body(acc, sl, dy.astype(jnp.float32), dx.astype(jnp.float32)), None
+
+    acc, _ = jax.lax.scan(step, init, offs)
+    return acc
+
+
 def morph_dilate(depth: jnp.ndarray) -> jnp.ndarray:
     """Morphological dilate, pre_morph.fs:73-112 (the pass actually executed:
     mode 0 runs dilate(coords, 1), :123-127; mode 1 is passthrough :130-135).
@@ -145,29 +179,32 @@ def bilateral_lab(
         depth2 = jnp.where(in_box[..., None], depth2, 0.0)
         return depth2, lab
 
-    # 13x13 bilateral (pre_depth.fs:85-127)
+    # 13x13 bilateral (pre_depth.fs:85-127), folded via lax.scan
     ks = 6
     pad = jnp.pad(depth_m, ks, mode="edge")
     dist_range_max = 0.35 * depth_m / _MAX_DEPTH  # :89-91
-
-    depth_bf = jnp.zeros_like(depth_m)
-    w = jnp.zeros_like(depth_m)
-    w_range = jnp.zeros_like(depth_m)
     num_samples = float((2 * ks + 1) ** 2)
-    for dy in range(-ks, ks + 1):
-        for dx in range(-ks, ks + 1):
-            s = _shifted(pad, ks, dy, dx, H, W)
-            depth_range = jnp.abs(s - depth_m)
-            outside = (s < near) | (s > far)
-            border = outside | (depth_range > dist_range_max)
-            gauss_space = 1.0 - jnp.sqrt(float(dx * dx + dy * dy)) / ks  # :38-41
-            gauss_range = 1.0 - jnp.minimum(depth_range, dist_range_max) / jnp.maximum(
-                dist_range_max, 1e-20
-            )  # :45-48
-            w_s = jnp.where(border, 0.0, gauss_space * gauss_range)
-            depth_bf = depth_bf + w_s * s
-            w = w + w_s
-            w_range = w_range + jnp.where(border, 0.0, gauss_range)
+
+    def bf_body(acc, s, dy, dx):
+        depth_bf, w, w_range = acc
+        depth_range = jnp.abs(s - depth_m)
+        outside = (s < near) | (s > far)
+        border = outside | (depth_range > dist_range_max)
+        gauss_space = 1.0 - jnp.sqrt(dx * dx + dy * dy) / ks  # :38-41
+        gauss_range = 1.0 - jnp.minimum(depth_range, dist_range_max) / jnp.maximum(
+            dist_range_max, 1e-20
+        )  # :45-48
+        w_s = jnp.where(border, 0.0, gauss_space * gauss_range)
+        return (
+            depth_bf + w_s * s,
+            w + w_s,
+            w_range + jnp.where(border, 0.0, gauss_range),
+        )
+
+    zero = jnp.zeros_like(depth_m)
+    depth_bf, w, w_range = _stencil_scan(
+        pad, ks, H, W, bf_body, (zero, zero, zero)
+    )
 
     filtered = depth_bf / jnp.maximum(w, 1e-20)
     depth2 = jnp.stack([norm_d(filtered), w_range / num_samples], axis=-1)
@@ -192,20 +229,19 @@ def boundary(
     """
     H, W = depth2.shape[:2]
     ks = 2
-    dpad = jnp.pad(depth2, ((ks, ks), (ks, ks), (0, 0)), mode="edge")
-    lpad = jnp.pad(lab, ((ks, ks), (ks, ks), (0, 0)), mode="edge")
+    both = jnp.concatenate([depth2, lab], axis=-1)  # (H, W, 5)
+    bpad = jnp.pad(both, ((ks, ks), (ks, ks), (0, 0)), mode="edge")
 
     # get_color_diff (:37-55): mean LAB distance over valid 5x5 neighbors
-    total_dist = jnp.zeros((H, W), lab.dtype)
-    cnt = jnp.zeros((H, W), lab.dtype)
-    for dy in range(-ks, ks + 1):
-        for dx in range(-ks, ks + 1):
-            d_s = _shifted(dpad, ks, dy, dx, H, W)
-            l_s = _shifted(lpad, ks, dy, dx, H, W)
-            v = (d_s[..., 0] > 0.0) & (d_s[..., 1] > _MIN_RANGE)
-            dist = jnp.linalg.norm(lab - l_s, axis=-1)
-            total_dist = total_dist + jnp.where(v, dist, 0.0)
-            cnt = cnt + v.astype(lab.dtype)
+    def cd_body(acc, s, dy, dx):
+        total_dist, cnt = acc
+        d_s, l_s = s[..., :2], s[..., 2:]
+        v = (d_s[..., 0] > 0.0) & (d_s[..., 1] > _MIN_RANGE)
+        dist = jnp.linalg.norm(lab - l_s, axis=-1)
+        return (total_dist + jnp.where(v, dist, 0.0), cnt + v.astype(lab.dtype))
+
+    zero = jnp.zeros((H, W), lab.dtype)
+    total_dist, cnt = _stencil_scan(bpad, ks, H, W, cd_body, (zero, zero))
     total_samples = float((2 * ks) * (2 * ks))  # :23 (16, not 25!)
     color_diff = jnp.where(
         cnt < total_samples * 0.5, 1.0, total_dist / jnp.maximum(cnt, 1.0)
@@ -280,20 +316,22 @@ def quality(
     ks = 6
     pad = jnp.pad(d, ks, mode="edge")
     dist_range_max = 0.35 * d  # :71-75 (max_depth = 1.0 here)
-
-    border = jnp.zeros_like(d)
-    w_range = jnp.zeros_like(d)
     num_samples = float((2 * ks + 1) ** 2)
-    for dy in range(-ks, ks + 1):
-        for dx in range(-ks, ks + 1):
-            s = _shifted(pad, ks, dy, dx, H, W)
-            depth_range = jnp.abs(s - d)
-            is_border = (s <= 0.0) | (s >= 1.0) | (depth_range > dist_range_max)
-            border = border + is_border.astype(d.dtype)
-            gauss_range = 1.0 - jnp.minimum(depth_range, dist_range_max) / jnp.maximum(
-                dist_range_max, 1e-20
-            )
-            w_range = w_range + jnp.where(is_border, 0.0, gauss_range)
+
+    def q_body(acc, s, dy, dx):
+        border, w_range = acc
+        depth_range = jnp.abs(s - d)
+        is_border = (s <= 0.0) | (s >= 1.0) | (depth_range > dist_range_max)
+        gauss_range = 1.0 - jnp.minimum(depth_range, dist_range_max) / jnp.maximum(
+            dist_range_max, 1e-20
+        )
+        return (
+            border + is_border.astype(d.dtype),
+            w_range + jnp.where(is_border, 0.0, gauss_range),
+        )
+
+    zero = jnp.zeros_like(d)
+    border, w_range = _stencil_scan(pad, ks, H, W, q_body, (zero, zero))
 
     lateral_quality = 1.0 - border / num_samples
     q = lateral_quality**6 * (w_range / num_samples) ** 6
