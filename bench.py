@@ -32,6 +32,12 @@ def main():
     import jax
 
     from rgbd_recon_tpu.bench import TimerDatabase
+
+    def sync(*arrays):
+        """True device sync: fetch one element to host. block_until_ready
+        alone does not flush through tunneled-device transports."""
+        for a in arrays:
+            np.asarray(jax.device_get(a.ravel()[0]))
     from rgbd_recon_tpu.calib import build_synthetic_calibration
     from rgbd_recon_tpu.core import BoundingBox, PipelineConfig
     from rgbd_recon_tpu.ops.raymarch import ViewCamera
@@ -66,35 +72,42 @@ def main():
 
     db = TimerDatabase()
 
-    print("compiling...", file=sys.stderr)
+    t0 = time.perf_counter()
+    print("compiling fuse...", file=sys.stderr)
     volume, maps, counts = pipe.fuse(frames)
+    sync(volume)
+    print(f"fuse compiled+ran in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    print("compiling render...", file=sys.stderr)
     out = renderer(volume, maps, counts)
-    jax.block_until_ready((volume, out.color))
+    sync(out.color)
+    print(f"render compiled+ran in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     iters = 10
     # fused update (preprocess + bricks + integrate): the headline loop
+    t0 = time.perf_counter()
     for _ in range(iters):
-        with db.time("2integrate+1preprocess", sync=None):
-            volume, maps, counts = pipe.fuse(frames)
-            jax.block_until_ready(volume)
+        volume, maps, counts = pipe.fuse(frames)
+    sync(volume)
+    db.timer("2integrate+1preprocess").add((time.perf_counter() - t0) / iters)
     # stage splits
     for _ in range(iters):
         with db.time("1preprocess"):
             maps2, counts2 = pipe.preprocess(frames)
-            jax.block_until_ready(maps2.quality)
+            sync(maps2.quality)
         with db.time("2integrate"):
             v2 = pipe.integrate(maps2, counts2)
-            jax.block_until_ready(v2)
+            sync(v2)
         with db.time("3recon"):
             o2 = renderer(volume, maps, counts)
-            jax.block_until_ready(o2.color)
+            sync(o2.color)
 
     # full frame: fuse + render
     t0 = time.perf_counter()
     for _ in range(iters):
         volume, maps, counts = pipe.fuse(frames)
         out = renderer(volume, maps, counts)
-    jax.block_until_ready((volume, out.color))
+    sync(volume, out.color)
     full_dt = (time.perf_counter() - t0) / iters
     db.timer("frame").add(full_dt)
 

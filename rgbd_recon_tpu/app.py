@@ -123,10 +123,15 @@ def cmd_run(args):
 
     from .bench import TimerDatabase
     from .ops.raymarch import ViewCamera
-    from .recon import TsdfPipeline
-    from .recon.points import PointsPipeline
-    from .recon.trigrid import TrigridPipeline
+    from .recon import (
+        CalibVisPipeline,
+        MvtPipeline,
+        PointsPipeline,
+        TrigridPipeline,
+        TsdfPipeline,
+    )
     from .sensors.frames import FrameSet
+    from .viz.stereo import StereoCamera, make_stereo_renderer
 
     scene, config = _load_scene(args.scene, args.conf)
     if args.mode is not None:
@@ -146,9 +151,30 @@ def cmd_run(args):
         eye=(center[0], center[1] + 0.2, center[2] + 2.6),
         target=tuple(center.tolist()),
     )
-    renderer = pipe.make_renderer(camera)
+    if args.stereo != "mono":
+        # anaglyph / side-by-side output (kinect_client.cpp:612-673)
+        renderer = make_stereo_renderer(
+            pipe.make_renderer, StereoCamera(cyclops=camera), mode=args.stereo
+        )
+        _tsdf_render = lambda volume, maps, counts: renderer(volume, maps, counts)
+    else:
+        _renderer = pipe.make_renderer(camera)
+        _tsdf_render = lambda volume, maps, counts: _renderer(
+            volume, maps, counts
+        ).color
     points_renderer = PointsPipeline(calib, config).make_renderer(camera)
     trigrid_renderer = TrigridPipeline(calib, config).make_renderer(camera)
+    mvt_renderer = MvtPipeline(calib, config).make_renderer(camera)
+    calibvis_renderer = CalibVisPipeline(
+        pipe.volume_grid, config.tsdf_limit
+    ).make_renderer(camera)
+
+    # checkpoint/resume (io/checkpoint.py — a capability the reference lacks)
+    ckpt_mgr = None
+    if args.checkpoint_dir:
+        from .io.checkpoint import CheckpointManager
+
+        ckpt_mgr = CheckpointManager(args.checkpoint_dir)
 
     # frame source: .stream replay or synthetic fallback
     def frame_iter():
@@ -199,6 +225,13 @@ def cmd_run(args):
 
     start = time.time()
     n_done = 0
+    start_frame = 0
+    if ckpt_mgr is not None and args.resume:
+        resumed = ckpt_mgr.latest()
+        if resumed is not None:
+            start_frame = resumed.frame_index
+            print(f"resuming at frame {start_frame}", file=sys.stderr)
+
     for ts, colors, depths in frame_iter():
         if args.frames and n_done >= args.frames:
             break
@@ -216,15 +249,28 @@ def cmd_run(args):
                 img, _, _ = points_renderer(maps)
             elif config.recon_mode == 2:
                 img, _, _ = trigrid_renderer(maps)
+            elif config.recon_mode == 3:
+                img, _, _ = mvt_renderer(maps)
+            elif config.recon_mode == 4:
+                img, _, _ = calibvis_renderer(volume)
             else:
-                out = renderer(volume, maps, counts)
-                img = out.color
+                img = _tsdf_render(volume, maps, counts)
             jax.block_until_ready(img)
         if args.save_renders:
             from .viz import save_image
 
             save_image(out_dir / f"frame_{n_done:04d}.png", np.asarray(img))
         n_done += 1
+        if ckpt_mgr is not None and n_done % args.checkpoint_every == 0:
+            from .io.checkpoint import ReconCheckpoint, config_to_json
+
+            ckpt_mgr.save(ReconCheckpoint(
+                volume=np.asarray(volume),
+                brick_counts=np.asarray(counts),
+                frame_index=start_frame + n_done,
+                timestamp=float(ts),
+                config_json=config_to_json(config),
+            ))
         print(f"frame {n_done} t={ts:.2f}", file=sys.stderr)
 
     csv_text = db.write_csv(out_dir / "timings.csv")
@@ -297,7 +343,16 @@ def main(argv=None):
     pr.add_argument("--streams", help="directory of .stream recordings")
     pr.add_argument("--frames", type=int, default=10)
     pr.add_argument("--mode", type=int, default=None,
-                    help="recon mode override (0 points, 1 tsdf, 2 trigrid)")
+                    help="recon mode override (0 points, 1 tsdf, 2 trigrid, "
+                         "3 mvt, 4 calib vis)")
+    pr.add_argument("--stereo", default="mono",
+                    choices=["mono", "anaglyph", "side-by-side"],
+                    help="stereo output mode (tsdf mode only)")
+    pr.add_argument("--checkpoint-dir", default=None,
+                    help="enable rotating checkpoints in this directory")
+    pr.add_argument("--checkpoint-every", type=int, default=10)
+    pr.add_argument("--resume", action="store_true",
+                    help="resume frame cursor from the latest checkpoint")
     pr.add_argument("--out", default="out")
     pr.add_argument("--width", type=int, default=640)
     pr.add_argument("--height", type=int, default=360)

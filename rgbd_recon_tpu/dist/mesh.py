@@ -57,45 +57,51 @@ def shard_pipeline_step(pipeline, camera, mesh: Mesh, axis_name: str = "z"):
     ray_sharding = NamedSharding(mesh, P(axis_name))
     repl = NamedSharding(mesh, P())
 
-    voxel_pos, padz = _pad_to_multiple(pipeline.voxel_pos, 0, n)
-    voxel_pos = jax.device_put(voxel_pos, NamedSharding(mesh, P(axis_name)))
-    v2b, _ = _pad_to_multiple(pipeline.voxel_to_brick, 0, n)
-    v2b = jax.device_put(v2b, NamedSharding(mesh, P(axis_name)))
+    cfg = pipeline.config
+    Z, Y, X = pipeline.volume_grid.shape
+    padz = (-Z) % n
+    vol_shape_p = (Z + padz, Y, X)
+    bbox_size = tuple(float(s) for s in pipeline.bbox.size)
 
     calib = jax.device_put(pipeline.calib, repl)
-    cfg = pipeline.config
-    renderer = pipeline.make_renderer(camera, jit_compile=False)
+    render_fn, dirs_vol = pipeline.make_render_fn(camera)
+    dirs_vol = jax.device_put(dirs_vol, ray_sharding)
 
     from ..ops import bricks as brick_ops
     from ..ops import tsdf as tsdf_ops
-    from ..ops.preprocess import preprocess_frames
 
-    def step(frames):
-        maps = preprocess_frames(
-            frames.depths, frames.colors,
-            calib.cv_xyz, calib.cv_uv,
-            calib.bbox_min, calib.bbox_max,
-            calib.depth_limits, calib.camera_positions,
-            morph=cfg.morph, bilateral=cfg.bilateral and cfg.processed,
-            refine=cfg.refine,
-        )
-        counts = pipeline._mark_bricks(maps)
+    def step(frames, calib, dirs_vol):
+        maps, counts = pipeline._preprocess_impl(calib, frames)
 
         mask = None
         if cfg.bricking:
             occ = brick_ops.occupied_mask(counts, cfg.min_voxels_per_brick)
-            mask = occ.reshape(-1)[v2b]
+            mask = brick_ops.expand_mask_to_voxel_grid(
+                occ, (Z, Y, X), bbox_size, cfg.brick_size
+            )
+            if padz:
+                mask = jnp.pad(mask, ((0, padz), (0, 0), (0, 0)))
+        # voxel centers over the padded grid, normalized by the TRUE
+        # resolution: padded rows project outside every frustum and keep
+        # the clear value, then get cropped below
+        voxel_pos = tsdf_ops.voxel_centers(vol_shape_p, true_shape=(Z, Y, X))
+        voxel_pos = jax.lax.with_sharding_constraint(voxel_pos, vol_sharding)
         volume_p = tsdf_ops.integrate(
             voxel_pos, calib.cv_xyz_inv,
             maps.depth[..., 0], maps.quality, maps.silhouette,
             cfg.tsdf_limit, voxel_mask=mask,
         )
         volume_p = jax.lax.with_sharding_constraint(volume_p, vol_sharding)
-        volume = volume_p[: pipeline.volume_grid.shape[0]] if padz else volume_p
-        out = renderer(volume, maps, counts)
+        volume = volume_p[:Z] if padz else volume_p
+        out = render_fn(volume, maps, counts, calib, dirs_vol)
         out = out.replace(
             color=jax.lax.with_sharding_constraint(out.color, ray_sharding)
         )
         return volume, out
 
-    return jax.jit(step)
+    jitted = jax.jit(step)
+
+    def run(frames):
+        return jitted(frames, calib, dirs_vol)
+
+    return run

@@ -73,6 +73,35 @@ def expand_mask_to_voxels(
     return mask.reshape(-1)[voxel_to_brick]
 
 
+def expand_mask_to_voxel_grid(
+    mask: jnp.ndarray,            # (Bz, By, Bx) bool
+    vol_shape: tuple,             # (Z, Y, X) static voxel resolution
+    bbox_size: tuple,             # (sx, sy, sz) static metric extents
+    brick_size: float,
+) -> jnp.ndarray:
+    """Brick mask -> per-voxel mask via separable per-axis index vectors.
+
+    Same semantics as `expand_mask_to_voxels` (voxel center's containing
+    brick, BrickGrid.voxel_to_brick_map math: floor(world_offset /
+    brick_size)), but the index arrays are three tiny per-axis vectors
+    computed in-program instead of a full (Z, Y, X) int32 map — no ~35 MB
+    constant in the lowered module, no big HBM gather.
+    """
+    Z, Y, X = vol_shape
+    sx, sy, sz = bbox_size
+    Bz, By, Bx = mask.shape
+
+    def axis_idx(R, B, size):
+        i = jnp.arange(R, dtype=jnp.float32)
+        b = jnp.floor((i + 0.5) / R * (size / brick_size)).astype(jnp.int32)
+        return jnp.clip(b, 0, B - 1)
+
+    iz = axis_idx(Z, Bz, sz)
+    iy = axis_idx(Y, By, sy)
+    ix = axis_idx(X, Bx, sx)
+    return mask[iz][:, iy][:, :, ix]
+
+
 def occupancy_ratio(mask: jnp.ndarray) -> jnp.ndarray:
     """Fraction of occupied bricks (the GUI stat, kinect_client.cpp:405)."""
     return jnp.mean(mask.astype(jnp.float32))

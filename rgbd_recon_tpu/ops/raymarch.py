@@ -130,14 +130,24 @@ def march(
 
     H, W = ray_dirs_vol.shape[:2]
     init = (
+        jnp.int32(0),                               # step index
         jnp.zeros((H, W), bool),                    # hit
         jnp.full((H, W), -limit, jnp.float32),      # prev_density (:89)
         jnp.zeros((H, W, 3), jnp.float32),          # hit_pos
         jnp.zeros((H, W), jnp.int32),               # num_samples
     )
 
-    def body(carry, k):
-        hit, prev, hit_pos, num = carry
+    # uniform early exit: a while_loop runs only as long as the SLOWEST ray
+    # is still marching (with brick-interval starts most rays hit within a
+    # few steps; a scan would always pay all max_steps trilinear gathers).
+    # Per-ray divergence is handled by the active mask; the loop condition
+    # is the any-reduction the whole chip agrees on.
+    def cond(carry):
+        k, hit, prev, hit_pos, num = carry
+        return (k < max_steps) & jnp.any((~hit) & (k < max_num))
+
+    def body(carry):
+        k, hit, prev, hit_pos, num = carry
         active = (~hit) & (k < max_num)
         pos = pos0 + step_vec * k.astype(jnp.float32)
         density = trilinear_3d(vol4, pos)[..., 0]
@@ -149,11 +159,9 @@ def march(
         hit_pos = jnp.where(found[..., None], refined, hit_pos)
         num = jnp.where(active, num + 1, num)
         prev = jnp.where(active, density, prev)
-        return (hit | found, prev, hit_pos, num), None
+        return (k + 1, hit | found, prev, hit_pos, num)
 
-    (hit, _, hit_pos, num), _ = jax.lax.scan(
-        body, init, jnp.arange(max_steps, dtype=jnp.int32)
-    )
+    (_, hit, _, hit_pos, num) = jax.lax.while_loop(cond, body, init)
     return hit, hit_pos, num
 
 

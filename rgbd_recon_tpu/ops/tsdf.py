@@ -19,11 +19,40 @@ Initial value +limit (:28); voxels of unoccupied bricks keep the clear value
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+import functools
+from typing import Optional, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 
 from .sampling import bilinear_2d, trilinear_3d
+
+
+def voxel_centers(
+    vol_shape: Tuple[int, int, int],
+    true_shape: Optional[Tuple[int, int, int]] = None,
+) -> jnp.ndarray:
+    """(Z, Y, X, 3) volume-normalized voxel-center positions, computed from
+    iota *inside* the traced program.
+
+    Materializing this grid host-side and closing over it bakes a ~100 MB
+    constant into every jitted program (8.8M voxels at reference scale,
+    SURVEY.md §6) — which both bloats the lowered module beyond what
+    remote-compile transports accept and costs an HBM read per frame. Iota
+    is free on TPU.
+
+    ``true_shape`` supports sharding-padded grids: positions are normalized
+    by the true resolution so padded rows land outside [0,1] and integrate
+    to the clear value.
+    """
+    Z, Y, X = vol_shape
+    tz, ty, tx = true_shape or vol_shape
+    zi = jax.lax.broadcasted_iota(jnp.float32, (Z, Y, X), 0)
+    yi = jax.lax.broadcasted_iota(jnp.float32, (Z, Y, X), 1)
+    xi = jax.lax.broadcasted_iota(jnp.float32, (Z, Y, X), 2)
+    return jnp.stack(
+        [(xi + 0.5) / tx, (yi + 0.5) / ty, (zi + 0.5) / tz], axis=-1
+    )
 
 
 def precompute_projections(
@@ -40,7 +69,6 @@ def precompute_projections(
 
     Returns (pos_calib (N, Z, Y, X, 3), in_frustum (N, Z, Y, X) bool).
     """
-    import jax
 
     def one(inv):
         lookup = trilinear_3d(inv, voxel_pos)
@@ -49,8 +77,19 @@ def precompute_projections(
     return jax.lax.map(one, cv_xyz_inv)
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def bake_projections(
+    cv_xyz_inv: jnp.ndarray, vol_shape: Tuple[int, int, int]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Jitted projection bake over an iota voxel grid (no host constants):
+    the form the pipeline uses at setup."""
+    return precompute_projections(voxel_centers(vol_shape), cv_xyz_inv)
+
+
 def integrate(
-    voxel_pos: jnp.ndarray,      # (Z, Y, X, 3) volume-normalized voxel centers
+    voxel_pos: Union[jnp.ndarray, Tuple[int, int, int]],
+    # (Z, Y, X, 3) volume-normalized voxel centers, or a static (Z, Y, X)
+    # shape tuple -> centers are generated from iota in-program
     cv_xyz_inv: jnp.ndarray,     # (N, Dz, Hy, Wx, 4)
     depths: jnp.ndarray,         # (N, H, W) processed normalized depth
     qualities: jnp.ndarray,      # (N, H, W)
@@ -63,6 +102,8 @@ def integrate(
 
     Pass `projections` from :func:`precompute_projections` to skip the
     per-frame cv_xyz_inv gathers (identical math, large speedup)."""
+    if isinstance(voxel_pos, tuple):
+        voxel_pos = voxel_centers(voxel_pos)
     num_sensors = depths.shape[0]
 
     tsd = jnp.full(voxel_pos.shape[:-1], limit, jnp.float32)

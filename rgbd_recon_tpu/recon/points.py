@@ -32,13 +32,15 @@ class PointsPipeline:
         self.config = config or PipelineConfig()
 
     def make_renderer(self, camera: ViewCamera, jit_compile: bool = True):
-        calib = self.calib
         cfg = self.config
         max_size = 4.0 if cfg.shade_mode == 3 else 10.0  # points.gs:55-58
         rot = jnp.asarray(camera.rotation())
         eye = jnp.asarray(np.asarray(camera.eye, np.float32))
 
-        def render(maps: SensorMaps):
+        # calib is a jit ARGUMENT (not a closure constant): closure-captured
+        # arrays are baked into the lowered module, and cv volumes are
+        # hundreds of MB at reference scale (see TsdfPipeline docstring).
+        def render(maps: SensorMaps, calib: CalibrationSet):
             N, H, W = maps.depth.shape[:3]
             u = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
             v = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
@@ -104,4 +106,9 @@ class PointsPipeline:
             img = jnp.where(covered[..., None], img, 0.0)
             return img, depth_out, covered
 
-        return jax.jit(render) if jit_compile else render
+        inner = jax.jit(render) if jit_compile else render
+
+        def renderer(maps: SensorMaps):
+            return inner(maps, self.calib)
+
+        return renderer

@@ -45,15 +45,16 @@ class TrigridPipeline:
         self.min_length = min_length
         self.epsilon = epsilon
 
-    def make_renderer(self, camera: ViewCamera, jit_compile: bool = True):
-        calib = self.calib
+    def make_render_fn(self, camera: ViewCamera):
+        """Raw render(maps, calib) — calib as jit argument, not closure
+        constant (see PointsPipeline)."""
         cfg = self.config
         rot = jnp.asarray(camera.rotation())
         eye = jnp.asarray(np.asarray(camera.eye, np.float32))
         eps = self.epsilon
         min_length = self.min_length
 
-        def render(maps: SensorMaps):
+        def render(maps: SensorMaps, calib: CalibrationSet):
             N, H, W = maps.depth.shape[:3]
             u = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
             v = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
@@ -148,4 +149,13 @@ class TrigridPipeline:
             depth_out = jnp.where(jnp.isfinite(zbuf), camera.window_depth(zbuf), 1.0)
             return img, depth_out, covered
 
-        return jax.jit(render) if jit_compile else render
+        return render
+
+    def make_renderer(self, camera: ViewCamera, jit_compile: bool = True):
+        render = self.make_render_fn(camera)
+        inner = jax.jit(render) if jit_compile else render
+
+        def renderer(maps: SensorMaps):
+            return inner(maps, self.calib)
+
+        return renderer

@@ -18,7 +18,6 @@ dist/ over a device mesh.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -49,8 +48,14 @@ class RenderOutput:
 class TsdfPipeline:
     """Builds and owns the jitted step functions for one scene setup.
 
-    The constructor captures everything static (grids, resolutions, config);
-    methods are functional over (frames, volume) state.
+    The constructor captures everything *static* (grids, resolutions,
+    config) in Python; all device arrays — the calibration set and the
+    precomputed projections — flow through the jitted functions as explicit
+    pytree ARGUMENTS, never as closure captures. Closure-captured arrays are
+    baked into the lowered module as constants; at reference scale
+    (cv_xyz_inv alone is ~280 MB for 4 sensors) that makes the program
+    unserializable and wastes HBM. Public methods supply the pipeline's own
+    arrays, so callers keep the simple `fuse(frames)` surface.
     """
 
     def __init__(
@@ -68,15 +73,11 @@ class TsdfPipeline:
             brick_size=self.config.brick_size,
             min_voxels=self.config.min_voxels_per_brick,
         )
-        self.voxel_pos = jnp.asarray(self.volume_grid.voxel_centers_normalized())
-        self.voxel_to_brick = jnp.asarray(
-            self.brick_grid.voxel_to_brick_map(self.volume_grid)
-        )
         # frame-invariant per-voxel projections (ops/tsdf.py): one gather at
         # setup instead of one per frame
         if self.config.precompute_projections:
-            self.projections = jax.jit(tsdf.precompute_projections)(
-                self.voxel_pos, self.calib.cv_xyz_inv
+            self.projections = tsdf.bake_projections(
+                self.calib.cv_xyz_inv, self.volume_grid.shape
             )
         else:
             self.projections = None
@@ -84,27 +85,29 @@ class TsdfPipeline:
         self._integrate = jax.jit(self._integrate_impl)
         self._fuse = jax.jit(self._fuse_impl)
 
-    # -- stages ------------------------------------------------------------
+    # -- stages (pure over their array arguments) ---------------------------
 
-    def _preprocess_impl(self, frames: FrameSet) -> Tuple[SensorMaps, jnp.ndarray]:
+    def _preprocess_impl(
+        self, calib: CalibrationSet, frames: FrameSet
+    ) -> Tuple[SensorMaps, jnp.ndarray]:
         c = self.config
         maps = preprocess_frames(
             frames.depths,
             frames.colors,
-            self.calib.cv_xyz,
-            self.calib.cv_uv,
-            self.calib.bbox_min,
-            self.calib.bbox_max,
-            self.calib.depth_limits,
-            self.calib.camera_positions,
+            calib.cv_xyz,
+            calib.cv_uv,
+            calib.bbox_min,
+            calib.bbox_max,
+            calib.depth_limits,
+            calib.camera_positions,
             morph=c.morph,
             bilateral=c.bilateral and c.processed,
             refine=c.refine,
         )
-        counts = self._mark_bricks(maps)
+        counts = self._mark_bricks(calib, maps)
         return maps, counts
 
-    def _mark_bricks(self, maps: SensorMaps) -> jnp.ndarray:
+    def _mark_bricks(self, calib: CalibrationSet, maps: SensorMaps) -> jnp.ndarray:
         """Brick occupancy from valid depth pixels (the pre_normal.fs side
         effect, glsl/pre_normal.fs:32-34 + inc_bricks.glsl:40-58)."""
         N, H, W = maps.depth.shape[:3]
@@ -118,66 +121,97 @@ class TsdfPipeline:
             w = trilinear_3d(cv_xyz_i, jnp.stack([uu, vv, d], axis=-1))
             return w, valid
 
-        worlds, valids = jax.vmap(world_of)(self.calib.cv_xyz, maps.depth)
+        worlds, valids = jax.vmap(world_of)(calib.cv_xyz, maps.depth)
         return brick_ops.mark_bricks(
             worlds,
             valids,
-            self.calib.bbox_min,
+            calib.bbox_min,
             self.config.brick_size,
             self.brick_grid.res,
         )
 
+    def _voxel_mask(self, brick_counts: jnp.ndarray):
+        c = self.config
+        if not c.bricking:
+            return None
+        occ = brick_ops.occupied_mask(brick_counts, c.min_voxels_per_brick)
+        return brick_ops.expand_mask_to_voxel_grid(
+            occ,
+            self.volume_grid.shape,
+            tuple(float(s) for s in self.bbox.size),
+            c.brick_size,
+        )
+
     def _integrate_impl(
-        self, maps: SensorMaps, brick_counts: jnp.ndarray
+        self,
+        calib: CalibrationSet,
+        projections,
+        maps: SensorMaps,
+        brick_counts: jnp.ndarray,
     ) -> jnp.ndarray:
         c = self.config
-        mask = None
-        if c.bricking:
-            occ = brick_ops.occupied_mask(brick_counts, c.min_voxels_per_brick)
-            mask = brick_ops.expand_mask_to_voxels(occ, self.voxel_to_brick)
         return tsdf.integrate(
-            self.voxel_pos,
-            self.calib.cv_xyz_inv,
+            self.volume_grid.shape,
+            calib.cv_xyz_inv,
             maps.depth[..., 0],
             maps.quality,
             maps.silhouette,
             c.tsdf_limit,
-            voxel_mask=mask,
-            projections=self.projections,
+            voxel_mask=self._voxel_mask(brick_counts),
+            projections=projections,
         )
 
-    def _fuse_impl(self, frames: FrameSet) -> Tuple[jnp.ndarray, SensorMaps, jnp.ndarray]:
-        maps, counts = self._preprocess_impl(frames)
-        volume = self._integrate_impl(maps, counts)
+    def _fuse_impl(
+        self, calib: CalibrationSet, projections, frames: FrameSet
+    ) -> Tuple[jnp.ndarray, SensorMaps, jnp.ndarray]:
+        maps, counts = self._preprocess_impl(calib, frames)
+        volume = self._integrate_impl(calib, projections, maps, counts)
         return volume, maps, counts
 
     # -- public API --------------------------------------------------------
 
     def preprocess(self, frames: FrameSet):
-        return self._preprocess(frames)
+        return self._preprocess(self.calib, frames)
 
     def integrate(self, maps: SensorMaps, brick_counts: jnp.ndarray) -> jnp.ndarray:
-        return self._integrate(maps, brick_counts)
+        return self._integrate(self.calib, self.projections, maps, brick_counts)
 
     def fuse(self, frames: FrameSet):
-        """One fused frame update: preprocess + mark + integrate."""
-        return self._fuse(frames)
+        """One fused frame update: preprocess + mark + integrate.
 
-    def make_renderer(
+        Dispatched as the two stage programs rather than one monolithic jit:
+        XLA's fusion search on the combined stencil-chain + volume-integrate
+        program takes ~10x longer to compile for no measured runtime win
+        (intermediates stay on device either way). `fuse_single_program()`
+        exposes the monolith for callers that want one dispatch.
+        """
+        maps, counts = self._preprocess(self.calib, frames)
+        volume = self._integrate(self.calib, self.projections, maps, counts)
+        return volume, maps, counts
+
+    def fuse_single_program(self, frames: FrameSet):
+        """The whole frame update as ONE jitted XLA program."""
+        return self._fuse(self.calib, self.projections, frames)
+
+    def make_render_fn(
         self,
         camera: raymarch.ViewCamera,
         max_steps: Optional[int] = None,
-        jit_compile: bool = True,
     ):
-        """Returns a jitted render(volume, maps, brick_counts) -> RenderOutput
-        for a fixed virtual camera (rays are static w.r.t. the camera)."""
+        """Build the raw render function + its ray grid.
+
+        Returns ``(render, dirs_vol)`` where
+        ``render(volume, maps, brick_counts, calib, dirs_vol)`` is pure and
+        unjitted — the form the dist/ layer traces inside its own sharded
+        step (all large arrays are arguments, nothing big is captured).
+        """
         c = self.config
         bbox_size = np.asarray(self.bbox.size, np.float32)
         eye_vol = jnp.asarray(
             self.bbox.normalize(np.asarray(camera.eye, np.float32))
         )
         dirs_world = camera.ray_directions_world()
-        dirs_vol = jnp.asarray(dirs_world / bbox_size)
+        dirs_vol_host = jnp.asarray(dirs_world / bbox_size)
 
         if max_steps is None:
             # worst case: volume diagonal at limit/2 normalized steps
@@ -186,10 +220,10 @@ class TsdfPipeline:
 
         rot = jnp.asarray(camera.rotation())
         eye_w = jnp.asarray(np.asarray(camera.eye, np.float32))
-        bbox_min = self.calib.bbox_min
         bbox_sz = jnp.asarray(bbox_size)
 
-        def render(volume, maps: SensorMaps, brick_counts=None):
+        def render(volume, maps: SensorMaps, brick_counts, calib, dirs_vol):
+            bbox_min = calib.bbox_min
             start_end = None
             if c.skip_space and brick_counts is not None and c.bricking:
                 occ = brick_ops.occupied_mask(brick_counts, c.min_voxels_per_brick)
@@ -215,7 +249,7 @@ class TsdfPipeline:
             if c.shade_mode == 3:
                 rgb = raymarch.blend_cameras(
                     hit_pos,
-                    self.calib.cv_xyz_inv,
+                    calib.cv_xyz_inv,
                     maps.depth[..., 0],
                     maps.quality,
                     c.tsdf_limit,
@@ -224,8 +258,8 @@ class TsdfPipeline:
             else:
                 rgba = raymarch.blend_colors(
                     hit_pos,
-                    self.calib.cv_xyz_inv,
-                    self.calib.cv_uv,
+                    calib.cv_xyz_inv,
+                    calib.cv_uv,
                     maps.color,
                     maps.depth[..., 0],
                     maps.quality,
@@ -262,7 +296,25 @@ class TsdfPipeline:
                 color=color, depth=depth_out, hit=hit, num_samples=num
             )
 
-        return jax.jit(render) if jit_compile else render
+        return render, dirs_vol_host
+
+    def make_renderer(
+        self,
+        camera: raymarch.ViewCamera,
+        max_steps: Optional[int] = None,
+        jit_compile: bool = True,
+    ):
+        """Returns render(volume, maps, brick_counts) -> RenderOutput for a
+        fixed virtual camera (rays are static w.r.t. the camera), jitted by
+        default. The camera's ray grid and the calibration set are threaded
+        through the jitted function as arguments (see class docstring)."""
+        render, dirs_vol = self.make_render_fn(camera, max_steps)
+        inner = jax.jit(render) if jit_compile else render
+
+        def renderer(volume, maps: SensorMaps, brick_counts=None):
+            return inner(volume, maps, brick_counts, self.calib, dirs_vol)
+
+        return renderer
 
 
 def raymarch_brick_interval(

@@ -127,3 +127,37 @@ def test_app_invert(tmp_path):
     inv, limits = read_calibration_volume(tmp_path / "23.cv_xyz_inv", channels=4)
     assert inv.shape == (8, 9, 8, 4)  # (Z, Y=ceil(2.2/0.25), X, 4)
     assert (inv[..., 3] > 0).any()
+
+
+def test_app_run_stereo_checkpoint(tmp_path):
+    """CLI: anaglyph stereo output + rotating checkpoints at tiny scale."""
+    from rgbd_recon_tpu.app import main
+
+    scene = tmp_path / "scene.ks"
+    scene.write_text("kinect a.yml\nkinect b.yml\nbbx -1 0 -1 1 2.2 1\n")
+    conf = tmp_path / "s.conf"
+    conf.write_text(
+        "voxel_size: 0.1\nbrick_size: 0.5\ntsdf_limit: 0.02\nrecon_mode: 1\n"
+    )
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+    main([
+        "run", str(scene), "--conf", str(conf),
+        "--frames", "2", "--out", str(out), "--width", "48", "--height", "40",
+        "--depth-size", "40", "32", "--color-size", "48", "40",
+        "--inv-res", "24", "26", "24",
+        "--stereo", "anaglyph",
+        "--checkpoint-dir", str(ck), "--checkpoint-every", "1",
+    ])
+    import numpy as np
+    from PIL import Image
+
+    renders = sorted(out.glob("frame_*.png"))
+    assert len(renders) == 2
+    img = np.asarray(Image.open(renders[0]))
+    assert img.shape == (40, 48, 3)  # anaglyph composes into one frame
+
+    from rgbd_recon_tpu.io import CheckpointManager
+
+    latest = CheckpointManager(ck).latest()
+    assert latest is not None and latest.frame_index == 2

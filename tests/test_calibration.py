@@ -152,3 +152,46 @@ def test_build_synthetic_calibration_shapes():
         np.testing.assert_allclose(
             np.asarray(cs.camera_positions[i]), sensor.depth.position, atol=3e-2
         )
+
+
+# ---------------------------------------------------------------------------
+# scattered-data interpolation (the NaturalNeighbourInterpolator role)
+# ---------------------------------------------------------------------------
+
+def test_idw_interpolate_exact_at_samples():
+    from rgbd_recon_tpu.calib import idw_interpolate
+
+    rng = np.random.default_rng(5)
+    pos = rng.uniform(0, 1, (60, 3))
+    val = rng.uniform(-1, 1, (60, 2))
+    out = idw_interpolate(pos, val, pos, k=4)
+    np.testing.assert_allclose(out, val, atol=1e-4)
+
+
+def test_mls_reproduces_linear_field():
+    """Linear precision: the property Sibson natural-neighbour interpolation
+    guarantees and IDW does not."""
+    from rgbd_recon_tpu.calib import mls_interpolate
+
+    rng = np.random.default_rng(6)
+    pos = rng.uniform(0, 1, (200, 3))
+    A = np.array([[1.0, -2.0, 0.5], [0.0, 3.0, 1.0]])
+    val = pos @ A.T + np.array([0.3, -0.1])
+    q = rng.uniform(0.2, 0.8, (50, 3))
+    out = mls_interpolate(pos, val, q, k=16)
+    expected = q @ A.T + np.array([0.3, -0.1])
+    np.testing.assert_allclose(out, expected, atol=1e-3)
+
+
+def test_build_lookup_volume_shape_and_values():
+    from rgbd_recon_tpu.calib import build_lookup_volume
+
+    rng = np.random.default_rng(7)
+    pos = rng.uniform(0, 1, (300, 3))
+    val = pos[:, :1] * 2.0  # linear field
+    vol = build_lookup_volume(
+        pos, val, res=(8, 6, 4), space_min=np.zeros(3), space_max=np.ones(3)
+    )
+    assert vol.shape == (4, 6, 8, 1)
+    # texel at x-center ~0.5+ should carry ~2*x
+    assert abs(vol[2, 3, 4, 0] - 2.0 * (4.5 / 8)) < 0.1
