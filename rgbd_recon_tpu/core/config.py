@@ -108,6 +108,20 @@ class PipelineConfig:
     num_lods: int = 7              # pull-push pyramid depth
     shade_mode: int = 0            # 0 textured,1 shaded,2 normals,3 cam blend
     precompute_projections: bool = True  # hoist cv_xyz_inv gathers (perf)
+    # Visual-hull carve threshold on the bilinearly sampled silhouette.
+    # 1.0 reproduces the reference exactly (tsdf_integration.vs:32: carve
+    # when silhouette < 1.0) — which over-carves by up to a sensor pixel at
+    # the object limb. At reference sensor resolution (512x424) that is
+    # sub-centimeter; low-resolution rigs (tests) can set a small value
+    # (carve only where the silhouette is nearly fully background) to keep
+    # the hull erosion below a voxel.
+    carve_sil_threshold: float = 1.0
+    # True reproduces the reference's phantom hull surfaces: voxels of
+    # occupied bricks observed by no sensor keep the +limit init
+    # (tsdf_integration.vs:28), so carved->unobserved boundaries raymarch as
+    # walls. False (default) resets unobserved voxels to -limit so only
+    # measured TSDF bands produce surface hits.
+    phantom_hull: bool = False
 
     @classmethod
     def from_conf(cls, conf: Dict[str, ConfValue]) -> "PipelineConfig":

@@ -97,6 +97,8 @@ def integrate(
     limit: float,
     voxel_mask: Optional[jnp.ndarray] = None,  # (Z, Y, X) bool brick gating
     projections: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    carve_sil_threshold: float = 1.0,
+    phantom_hull: bool = False,
 ) -> jnp.ndarray:
     """Returns the fused TSDF volume (Z, Y, X) float32 in [-limit, +limit].
 
@@ -128,8 +130,9 @@ def integrate(
         depth = bilinear_2d(depths[i][..., None], uv)[..., 0]
         qual = bilinear_2d(qualities[i][..., None], uv)[..., 0]
 
-        # silhouette carve (:32-39): only when no sensor has written yet
-        carve = (sil < 1.0) & (tsd >= limit) & in_frustum
+        # silhouette carve (:32-39): only when no sensor has written yet.
+        # Threshold 1.0 = reference-exact; see PipelineConfig.
+        carve = (sil < carve_sil_threshold) & (tsd >= limit) & in_frustum
 
         sdist = pos_calib[..., 2] - depth
         behind = (sdist <= -limit) & in_frustum
@@ -147,6 +150,17 @@ def integrate(
 
         tsd = jnp.where(carve, -limit, tsd_next)
         total_w = jnp.where(carve, total_w, w_next)
+
+    if not phantom_hull:
+        # Reference parity quirk (tsdf_integration.vs:28,57): voxels of
+        # occupied bricks that NO sensor observed inside the truncation band
+        # keep the +limit init value. Where such a region abuts carved
+        # (-limit) space, the raymarcher finds a sign change that is not a
+        # measured surface — a phantom wall inside objects / at hull
+        # boundaries. With phantom_hull=False (default), unobserved voxels
+        # (zero accumulated weight, still at +limit) are reset to -limit
+        # ("unknown"), so only genuinely written TSDF bands produce hits.
+        tsd = jnp.where((total_w <= 0.0) & (tsd >= limit), -limit, tsd)
 
     if voxel_mask is not None:
         tsd = jnp.where(voxel_mask, tsd, -limit)

@@ -159,6 +159,8 @@ class TsdfPipeline:
             c.tsdf_limit,
             voxel_mask=self._voxel_mask(brick_counts),
             projections=projections,
+            carve_sil_threshold=c.carve_sil_threshold,
+            phantom_hull=c.phantom_hull,
         )
 
     def _fuse_impl(

@@ -99,6 +99,37 @@ def _normal_equations(params, pts, w, volume, bbox_min, bbox_size, limit):
     return JtWJ, JtWr, jnp.sum(jnp.abs(r) * (wm > 0)) / denom
 
 
+def leave_one_out_volumes(pipeline, maps, brick_counts) -> jnp.ndarray:
+    """(N, Z, Y, X) stack of TSDF volumes, volume i fused WITHOUT sensor i.
+
+    Refining a sensor against the volume its own (misaligned) depth
+    contributed to is self-confirming: the doubled surface it created pulls
+    its residual toward zero. Each sensor must instead be aligned against
+    the consensus of the *other* sensors. Sensor i is neutralised by giving
+    it an always-skip depth (sdist >= limit everywhere), a full silhouette
+    (no carving) and zero quality.
+    """
+    vols = []
+    N = maps.depth.shape[0]
+    for i in range(N):
+        sel = jnp.arange(N) != i
+        m = maps.replace(
+            depth=jnp.where(
+                sel[:, None, None, None], maps.depth,
+                jnp.full_like(maps.depth, -100.0)
+            ),
+            silhouette=jnp.where(
+                sel[:, None, None], maps.silhouette,
+                jnp.ones_like(maps.silhouette)
+            ),
+            quality=jnp.where(
+                sel[:, None, None], maps.quality, jnp.zeros_like(maps.quality)
+            ),
+        )
+        vols.append(pipeline.integrate(m, brick_counts))
+    return jnp.stack(vols)
+
+
 def refine_poses(
     calib,
     maps,
@@ -107,8 +138,13 @@ def refine_poses(
     iters: int = 5,
     damping: float = 1e-4,
     stride: int = 2,
+    volumes: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Estimate per-sensor pose corrections against the fused TSDF.
+
+    Pass ``volumes`` (N, Z, Y, X) from :func:`leave_one_out_volumes` to
+    align each sensor against the other sensors' consensus surface (the
+    well-posed form); ``volume`` alone aligns against the joint volume.
 
     Returns (poses (N, 6), per-iteration mean abs residual (iters, N)).
     """
@@ -123,17 +159,20 @@ def refine_poses(
         w_list.append(w)
     pts = jnp.stack(pts_list)
     ws = jnp.stack(w_list)
+    vols = volumes if volumes is not None else jnp.broadcast_to(
+        volume, (N,) + volume.shape
+    )
 
     def one_iter(poses):
-        def per_sensor(params, p, w):
+        def per_sensor(params, p, w, vol):
             JtWJ, JtWr, res = _normal_equations(
-                params, p, w, volume, bbox_min, bbox_size, limit
+                params, p, w, vol, bbox_min, bbox_size, limit
             )
             A = JtWJ + damping * jnp.eye(6) * (1.0 + jnp.diag(JtWJ))
             delta = jnp.linalg.solve(A, JtWr)
             return params - delta, res
 
-        return jax.vmap(per_sensor)(poses, pts, ws)
+        return jax.vmap(per_sensor)(poses, pts, ws, vols)
 
     poses = jnp.zeros((N, 6), jnp.float32)
     history = []
@@ -143,8 +182,12 @@ def refine_poses(
     return poses, jnp.stack(history)
 
 
-def pose_residual_stats(calib, maps, volume, limit, poses=None, stride=2):
-    """Mean |TSDF| at observed surface points (alignment quality metric)."""
+def pose_residual_stats(calib, maps, volume, limit, poses=None, stride=2,
+                        volumes=None):
+    """Mean |TSDF| at observed surface points (alignment quality metric).
+
+    Pass ``volumes`` (N, Z, Y, X) to score each sensor against the
+    leave-one-out consensus instead of the joint volume."""
     N = maps.depth.shape[0]
     if poses is None:
         poses = jnp.zeros((N, 6), jnp.float32)
@@ -152,9 +195,10 @@ def pose_residual_stats(calib, maps, volume, limit, poses=None, stride=2):
     bbox_size = calib.bbox_max - calib.bbox_min
     out = []
     for i in range(N):
+        vol = volumes[i] if volumes is not None else volume
         pts, w = _surface_points(calib, maps, i, stride)
         moved = apply_pose(poses[i], pts)
-        r = _tsdf_at(volume, bbox_min, bbox_size, moved)
+        r = _tsdf_at(vol, bbox_min, bbox_size, moved)
         mask = (jnp.abs(r) < limit * 0.999) & (w > 0)
         denom = jnp.maximum(jnp.sum(mask), 1)
         out.append(jnp.sum(jnp.abs(r) * mask) / denom)

@@ -14,6 +14,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Some environments install a site hook that force-sets jax.config's
+# jax_platforms (e.g. to "axon,cpu") at import time, silently overriding the
+# env var above — the whole suite then runs on the remote TPU tunnel. Pin the
+# config itself, which wins over the hook.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: the suite's cost is XLA compile time, not
 # compute; cache compiles across runs (and driver rounds).
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")

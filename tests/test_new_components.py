@@ -84,8 +84,12 @@ def test_calib_vis_renders_surface_band(setup):
     img, depth, covered = vis.make_renderer(cam)(volume)
     img, covered = np.asarray(img), np.asarray(covered)
     assert covered.sum() > 20
-    # blue = far-outside voxels dominate any view of a mostly-empty volume
-    assert img[..., 2].max() == pytest.approx(1.0, abs=1e-5)
+    # with the default phantom_hull=False volume, unobserved voxels sit at
+    # -limit (green class, zero brightness) and the written band provides
+    # bright green (just-inside) and red (just-outside) voxels; the blue
+    # class (tsd >= +limit) exists only in phantom_hull=True parity volumes
+    assert img[..., 0].max() > 0.2  # red: written just-outside band
+    assert img[..., 1].max() > 0.2  # green: written just-inside band
 
 
 # ---------------------------------------------------------------------------

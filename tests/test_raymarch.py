@@ -93,7 +93,9 @@ def test_shade_modes():
     # unlit face gets ambient only
     away = jnp.asarray(np.array([[0.0, 0.0, -1.0]], np.float32))
     amb = np.asarray(raymarch.shade(view_pos, away, diffuse, 1))
-    np.testing.assert_allclose(amb, np.asarray([1.0, 0.9, 0.7]) * 0.2 * 0.5, rtol=1e-5)
+    np.testing.assert_allclose(
+        amb, np.asarray([[1.0, 0.9, 0.7]]) * 0.2 * 0.5, rtol=1e-5
+    )
 
 
 def test_blend_colors_fallback_alpha():
@@ -103,6 +105,7 @@ def test_blend_colors_fallback_alpha():
     inv[..., 0] = 0.5
     inv[..., 1] = 0.5
     inv[..., 2] = 0.9  # voxel projects far from measured depth
+    inv[..., 3] = 1.0  # in-frustum (validity channel)
     cv_uv = np.full((1, 2, 2, 2, 2), 0.5, np.float32)
     colors = np.full((1, 4, 4, 3), 0.7, np.float32)
     depths = np.full((1, 4, 4), 0.2, np.float32)

@@ -12,7 +12,12 @@ from rgbd_recon_tpu.core.camera import RGBDSensor, SensorRig
 from rgbd_recon_tpu.core.config import PipelineConfig
 from rgbd_recon_tpu.core.grid import BoundingBox
 from rgbd_recon_tpu.recon import TsdfPipeline
-from rgbd_recon_tpu.refine import apply_pose, pose_residual_stats, refine_poses
+from rgbd_recon_tpu.refine import (
+    apply_pose,
+    leave_one_out_volumes,
+    pose_residual_stats,
+    refine_poses,
+)
 from rgbd_recon_tpu.sensors.synthetic import (
     SyntheticScene,
     default_test_rig,
@@ -43,7 +48,10 @@ def test_refinement_recovers_perturbed_pose():
     """Perturb sensor 1's extrinsics by a few cm, fuse a volume from the
     other sensors + perturbed one, and check BA reduces the residual and
     moves sensor 1's points back toward the surface."""
-    rig = default_test_rig(num_sensors=3, depth_size=(48, 40),
+    # 4 sensors so adjacent observed caps overlap; filters off below because
+    # the 13x13 stencils invalidate oblique pixels at this tiny resolution,
+    # which would empty the cross-sensor overlap the BA aligns against
+    rig = default_test_rig(num_sensors=4, depth_size=(48, 40),
                           color_size=(64, 48), bbox=BBOX)
 
     # perturbed rig: translate sensor 1 by 4 cm
@@ -53,7 +61,9 @@ def test_refinement_recovers_perturbed_pose():
         s1.depth, t_cw=tuple((np.asarray(s1.depth.t_cw) + offset).tolist())
     )
     moved = RGBDSensor(depth=moved_depth, color=s1.color, serial=s1.serial)
-    bad_rig = SensorRig(sensors=(rig.sensors[0], moved, rig.sensors[2]))
+    bad_rig = SensorRig(
+        sensors=(rig.sensors[0], moved, rig.sensors[2], rig.sensors[3])
+    )
 
     scene = SyntheticScene(spheres=[((0.0, 1.1, 0.0), 0.55)])
     # frames observed by the TRUE rig...
@@ -62,16 +72,24 @@ def test_refinement_recovers_perturbed_pose():
     calib = build_synthetic_calibration(bad_rig, BBOX, cv_res=(16, 24, 16),
                                         inv_res=(40, 44, 40))
     cfg = PipelineConfig(voxel_size=0.04, brick_size=0.25, tsdf_limit=0.03,
-                         bricking=False)
+                         bricking=False, bilateral=False, morph=False,
+                         refine=False)
     pipe = TsdfPipeline(calib, cfg, BBOX)
-    volume, maps, _ = pipe.fuse(frames)
+    volume, maps, counts = pipe.fuse(frames)
 
+    # leave-one-out consensus volumes: each sensor aligns against the
+    # OTHERS' surface, not its own contaminated contribution
+    vols = leave_one_out_volumes(pipe, maps, counts)
     res_before = np.asarray(
-        pose_residual_stats(calib, maps, volume, cfg.tsdf_limit)
+        pose_residual_stats(calib, maps, volume, cfg.tsdf_limit, volumes=vols)
     )
-    poses, hist = refine_poses(calib, maps, volume, cfg.tsdf_limit, iters=6)
+    poses, hist = refine_poses(
+        calib, maps, volume, cfg.tsdf_limit, iters=6, volumes=vols
+    )
     res_after = np.asarray(
-        pose_residual_stats(calib, maps, volume, cfg.tsdf_limit, poses)
+        pose_residual_stats(
+            calib, maps, volume, cfg.tsdf_limit, poses, volumes=vols
+        )
     )
 
     # the perturbed sensor's residual must shrink substantially
