@@ -89,3 +89,118 @@ def build_synthetic_calibration(
         bbox_min=jnp.asarray(np.array(bbox.min, np.float32)),
         bbox_max=jnp.asarray(np.array(bbox.max, np.float32)),
     )
+
+
+@struct.dataclass
+class PixelModels:
+    """Per-depth-pixel closed forms of the calibration volumes.
+
+    For a FIXED pixel (u, v), the baked volumes restrict to 1-D functions of
+    normalized depth d:
+
+      cv_xyz(u, v, d): world position — exactly linear in d for a pinhole
+        (world = cam + dir * (near + d*(far-near))), and trilinear sampling
+        preserves linear functions, so  world ~= ray_a + ray_b * d;
+      cv_uv(u, v, d): color texcoord — projective, i.e. first-order
+        rational:  uv ~= (uv_p + uv_q * d) / (1 + uv_r * d).
+
+    Fitting these at setup turns every per-frame cv_xyz/cv_uv lookup in the
+    preprocess chain (4 trilinear gathers per pixel in the normal pass
+    alone, ~700 ms/frame at reference scale) into pure elementwise math.
+    For measured (non-pinhole) calibrations the fit residual is reported so
+    callers can fall back to volume lookups (PipelineConfig.pixel_ray_model).
+    """
+
+    ray_a: jnp.ndarray   # (N, H, W, 3)
+    ray_b: jnp.ndarray   # (N, H, W, 3)
+    uv_p: jnp.ndarray    # (N, H, W, 2)
+    uv_q: jnp.ndarray    # (N, H, W, 2)
+    uv_r: jnp.ndarray    # (N, H, W, 2)
+
+    def world(self, d: jnp.ndarray) -> jnp.ndarray:
+        """(N, H, W) normalized depth -> (N, H, W, 3) world positions."""
+        return self.ray_a + self.ray_b * d[..., None]
+
+    def world_sensor(self, i: int, d: jnp.ndarray) -> jnp.ndarray:
+        return self.ray_a[i] + self.ray_b[i] * d[..., None]
+
+    def color_uv_sensor(self, i: int, d: jnp.ndarray) -> jnp.ndarray:
+        de = d[..., None]
+        return (self.uv_p[i] + self.uv_q[i] * de) / (1.0 + self.uv_r[i] * de)
+
+
+def derive_pixel_models(
+    cv_xyz: jnp.ndarray,   # (N, D, Hv, Wv, 3)
+    cv_uv: jnp.ndarray,    # (N, D, Hv, Wv, 2)
+    depth_hw: Tuple[int, int],
+) -> Tuple["PixelModels", float]:
+    """Fit PixelModels at depth-map pixel centers; returns (models,
+    max_residual) where the residual is the max |model - trilinear volume|
+    over control depths (normalized units, both channels)."""
+    from ..ops.sampling import trilinear_3d
+    import jax
+
+    H, W = depth_hw
+    u = (np.arange(W, dtype=np.float32) + 0.5) / W
+    v = (np.arange(H, dtype=np.float32) + 0.5) / H
+    uu, vv = np.meshgrid(u, v)
+    base = jnp.asarray(np.stack([uu, vv], axis=-1))
+
+    def at_depth(vol, d):
+        coords = jnp.concatenate(
+            [base, jnp.full((H, W, 1), d, jnp.float32)], axis=-1
+        )
+        return trilinear_3d(vol, coords)
+
+    @jax.jit
+    def fit(cv_xyz, cv_uv):
+        def one(args):
+            vol_xyz, vol_uv = args
+            d0, d1 = 0.25, 0.75
+            w0 = at_depth(vol_xyz, d0)
+            w1 = at_depth(vol_xyz, d1)
+            ray_b = (w1 - w0) / (d1 - d0)
+            ray_a = w0 - ray_b * d0
+
+            # rational fit (p + q d)/(1 + r d) per channel from 3 samples:
+            # the system  p + q di - ui r di = ui  is linear in (p, q, r).
+            # Solved in closed form; pixels whose uv is (near-)constant in
+            # depth make it singular and fall back to the exact linear fit
+            # (r = 0) through the end samples.
+            d1, d2, d3 = 0.2, 0.5, 0.8
+            u1 = at_depth(vol_uv, d1)
+            u2 = at_depth(vol_uv, d2)
+            u3 = at_depth(vol_uv, d3)
+            # eliminate p: (eq2-eq1), (eq3-eq1) in unknowns (q, r)
+            a11, a12, b1 = d2 - d1, -(u2 * d2 - u1 * d1), u2 - u1
+            a21, a22, b2 = d3 - d1, -(u3 * d3 - u1 * d1), u3 - u1
+            det = a11 * a22 - a12 * a21
+            ok = jnp.abs(det) > 1e-8
+            det_safe = jnp.where(ok, det, 1.0)
+            uv_r = jnp.where(ok, (a11 * b2 - a21 * b1) / det_safe, 0.0)
+            # a pole of the rational inside the depth range means the pixel's
+            # color projection is degenerate there (behind/crossing the color
+            # camera plane) — use the linear fallback for those pixels too
+            ok = ok & (jnp.minimum(1.0 + uv_r * 0.0, 1.0 + uv_r * 1.0) > 0.1)
+            uv_r = jnp.where(ok, uv_r, 0.0)
+            uv_q = jnp.where(
+                ok, (b1 * a22 - b2 * a12) / det_safe, (u3 - u1) / (d3 - d1)
+            )
+            uv_p = u1 + (u1 * uv_r - uv_q) * d1
+
+            # residuals at held-out depths
+            res = jnp.float32(0.0)
+            for d in (0.35, 0.65):
+                wm = ray_a + ray_b * d
+                res = jnp.maximum(res, jnp.max(jnp.abs(wm - at_depth(vol_xyz, d))))
+                um = (uv_p + uv_q * d) / (1.0 + uv_r * d)
+                res = jnp.maximum(res, jnp.max(jnp.abs(um - at_depth(vol_uv, d))))
+            return ray_a, ray_b, uv_p, uv_q, uv_r, res
+
+        return jax.lax.map(one, (cv_xyz, cv_uv))
+
+    ray_a, ray_b, uv_p, uv_q, uv_r, res = fit(cv_xyz, cv_uv)
+    return (
+        PixelModels(ray_a=ray_a, ray_b=ray_b, uv_p=uv_p, uv_q=uv_q, uv_r=uv_r),
+        float(jnp.max(res)),
+    )

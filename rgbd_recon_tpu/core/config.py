@@ -104,10 +104,20 @@ class PipelineConfig:
     brick_size: float = 0.1        # meters
     tsdf_limit: float = 0.01       # truncation, in normalized depth units
     min_voxels_per_brick: int = 10
+    # Max occupied bricks the compact integration path processes per frame
+    # (fixed shape for jit). Reference scenes mark 3-5.5% of bricks
+    # (inc_bricks.glsl:52-56) = ~260-480 of 8800 at default scale; 1024 is
+    # ~3x headroom. Extra occupied bricks beyond capacity are dropped.
+    brick_capacity: int = 1024
     time_limit: int = 0            # benchmark seconds; 0 = unlimited
     num_lods: int = 7              # pull-push pyramid depth
     shade_mode: int = 0            # 0 textured,1 shaded,2 normals,3 cam blend
     precompute_projections: bool = True  # hoist cv_xyz_inv gathers (perf)
+    # Replace per-frame cv_xyz/cv_uv trilinear lookups in the preprocess
+    # chain with per-pixel closed forms fitted at setup (exact for pinhole
+    # calibrations; see calib.sensors.PixelModels). Falls back to volume
+    # lookups automatically when the fit residual exceeds ~a pixel.
+    pixel_ray_model: bool = True
     # Visual-hull carve threshold on the bilinearly sampled silhouette.
     # 1.0 reproduces the reference exactly (tsdf_integration.vs:32: carve
     # when silhouette < 1.0) — which over-carves by up to a sensor pixel at
@@ -116,6 +126,16 @@ class PipelineConfig:
     # (carve only where the silhouette is nearly fully background) to keep
     # the hull erosion below a voxel.
     carve_sil_threshold: float = 1.0
+    # Raymarch sampling: "nearest" (TPU fast path — nearest-voxel stepping,
+    # one gather row per ray-step, with a trilinear secant re-refinement at
+    # the crossing) or "trilinear" (the reference's exact per-step sampling,
+    # 8 gather rows per ray-step). See ops/raymarch.py march().
+    march_mode: str = "nearest"
+    # Fraction of screen pixels the compacted march processes (rays whose
+    # brick interval is empty never march or shade). 0 disables compaction.
+    # Active rays beyond capacity render as background; typical scenes
+    # activate 20-40% of pixels.
+    ray_compaction: float = 0.5
     # True reproduces the reference's phantom hull surfaces: voxels of
     # occupied bricks observed by no sensor keep the +limit init
     # (tsdf_integration.vs:28), so carved->unobserved boundaries raymarch as

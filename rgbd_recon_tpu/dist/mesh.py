@@ -70,8 +70,8 @@ def shard_pipeline_step(pipeline, camera, mesh: Mesh, axis_name: str = "z"):
     from ..ops import bricks as brick_ops
     from ..ops import tsdf as tsdf_ops
 
-    def step(frames, calib, dirs_vol):
-        maps, counts = pipeline._preprocess_impl(calib, frames)
+    def step(frames, calib, dirs_vol, pixel_models):
+        maps, counts = pipeline._preprocess_impl(calib, pixel_models, frames)
 
         mask = None
         if cfg.bricking:
@@ -102,6 +102,9 @@ def shard_pipeline_step(pipeline, camera, mesh: Mesh, axis_name: str = "z"):
     jitted = jax.jit(step)
 
     def run(frames):
-        return jitted(frames, calib, dirs_vol)
+        pm = pipeline._get_pixel_models(frames.depths.shape[1:3])
+        if pm is not None:
+            pm = jax.device_put(pm, repl)
+        return jitted(frames, calib, dirs_vol, pm)
 
     return run

@@ -62,35 +62,23 @@ def _shifted(padded: jnp.ndarray, k: int, dy: int, dx: int, H: int, W: int):
 
 def _stencil_scan(padded: jnp.ndarray, k: int, H: int, W: int, body, init):
     """Fold `body(acc, shifted_window, dy, dx)` over all (2k+1)^2 offsets of
-    a (H+2k, W+2k, ...) edge-padded array with ``lax.scan``.
+    a (H+2k, W+2k, ...) edge-padded array, fully unrolled.
 
-    Large stencils (the reference's 13x13 bilateral/quality windows,
-    pre_depth.fs:85-127 / pre_quality.fs:65-119) must NOT be Python-unrolled:
-    169 unrolled gathers per sensor produce an HLO too large to compile
-    efficiently (and too large for remote-compile transports). A scan keeps
-    the program a single small body; XLA keeps the window slices in VMEM.
+    Unrolling (vs a ``lax.scan`` over offsets) matters enormously on TPU: a
+    scan step is a fusion barrier, so the scanned form re-reads the padded
+    array from HBM and round-trips the accumulators 169 times per sensor
+    (~1.1 s/frame measured for the preprocess chain at reference scale).
+    Unrolled, XLA fuses the whole accumulation into one pass over
+    VMEM-resident tiles (~10 ms). The body has no large constants, so the
+    unrolled HLO stays small enough for remote-compile transports.
 
     `body` receives float32 (dy, dx) offsets from the window center.
     """
-    offs = jnp.stack(
-        jnp.meshgrid(
-            jnp.arange(-k, k + 1, dtype=jnp.int32),
-            jnp.arange(-k, k + 1, dtype=jnp.int32),
-            indexing="ij",
-        ),
-        axis=-1,
-    ).reshape(-1, 2)
-
-    def step(acc, off):
-        dy, dx = off[0], off[1]
-        sl = jax.lax.dynamic_slice(
-            padded,
-            (k + dy, k + dx) + (0,) * (padded.ndim - 2),
-            (H, W) + padded.shape[2:],
-        )
-        return body(acc, sl, dy.astype(jnp.float32), dx.astype(jnp.float32)), None
-
-    acc, _ = jax.lax.scan(step, init, offs)
+    acc = init
+    for dy in range(-k, k + 1):
+        for dx in range(-k, k + 1):
+            sl = padded[k + dy : k + dy + H, k + dx : k + dx + W]
+            acc = body(acc, sl, float(dy), float(dx))
     return acc
 
 
@@ -142,6 +130,7 @@ def bilateral_lab(
     bbox_max: jnp.ndarray,
     depth_limits: jnp.ndarray,  # (2,) near/far
     filter_on: bool = True,
+    pixel_model=None,           # per-sensor PixelModels slice (a,b,p,q,r)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Bilateral depth filter + bbox cull + LAB conversion, pre_depth.fs.
 
@@ -155,22 +144,29 @@ def bilateral_lab(
         # pre_depth.fs:78-80
         return (d - near) / (far - near)
 
-    u = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
-    v = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
-    uu, vv = jnp.meshgrid(u, v)
-    texcoord = jnp.stack([uu, vv], axis=-1)
-
     depth_norm = norm_d(depth_m)
-    pos_world = trilinear_3d(
-        cv_xyz, jnp.concatenate([texcoord, depth_norm[..., None]], axis=-1)
-    )
+    if pixel_model is not None:
+        ray_a, ray_b, uv_p, uv_q, uv_r = pixel_model
+        pos_world = ray_a + ray_b * depth_norm[..., None]
+    else:
+        u = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
+        v = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
+        uu, vv = jnp.meshgrid(u, v)
+        texcoord = jnp.stack([uu, vv], axis=-1)
+        pos_world = trilinear_3d(
+            cv_xyz, jnp.concatenate([texcoord, depth_norm[..., None]], axis=-1)
+        )
     in_box = jnp.all((pos_world >= bbox_min) & (pos_world <= bbox_max), axis=-1)
 
     # LAB color (pre_depth.fs:136: degenerate depth samples use z=1.0)
     z_for_uv = jnp.where((depth_norm <= 0.0) | (depth_norm >= 1.0), 1.0, depth_norm)
-    coords_c = trilinear_3d(
-        cv_uv, jnp.concatenate([texcoord, z_for_uv[..., None]], axis=-1)
-    )
+    if pixel_model is not None:
+        ze = z_for_uv[..., None]
+        coords_c = (uv_p + uv_q * ze) / (1.0 + uv_r * ze)
+    else:
+        coords_c = trilinear_3d(
+            cv_uv, jnp.concatenate([texcoord, z_for_uv[..., None]], axis=-1)
+        )
     rgb = bilinear_2d(color, coords_c)
     lab = rgb_to_lab(rgb)
 
@@ -263,28 +259,46 @@ def boundary(
     return jnp.stack([new_d, new_q], axis=-1), sil
 
 
-def normals(depth2: jnp.ndarray, cv_xyz: jnp.ndarray) -> jnp.ndarray:
+def normals(depth2: jnp.ndarray, cv_xyz: jnp.ndarray,
+            pixel_model=None) -> jnp.ndarray:
     """Central-difference world-space normals, pre_normal.fs:26-56.
 
     Input channel 0 of `depth2` is the processed normalized depth;
     invalid (<=0 or >=1) neighbors are replaced by the center depth.
     (Brick marking, the pass's GL side effect, lives in ops/bricks.py.)
+
+    With a pixel_model the 4 neighbor world positions are a + b*d at
+    *shifted pixels* — edge-padded slices of the (H, W, 3) model arrays, no
+    gathers (vs 32 gather rows per pixel through cv_xyz).
     """
     H, W = depth2.shape[:2]
     d = depth2[..., 0]
     valid = (d > 0.0) & (d < 1.0)
 
-    u = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
-    v = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
-    uu, vv = jnp.meshgrid(u, v)
-
     pad = jnp.pad(d, 1, mode="edge")
 
-    def world_at(du, dv, dy, dx):
-        ds = _shifted(pad, 1, dy, dx, H, W)
-        ds = jnp.where((ds <= 0.0) | (ds >= 1.0), d, ds)
-        coords = jnp.stack([uu + du / W, vv + dv / H, ds], axis=-1)
-        return trilinear_3d(cv_xyz, coords)
+    if pixel_model is not None:
+        ray_a, ray_b = pixel_model[0], pixel_model[1]
+        a_pad = jnp.pad(ray_a, ((1, 1), (1, 1), (0, 0)), mode="edge")
+        b_pad = jnp.pad(ray_b, ((1, 1), (1, 1), (0, 0)), mode="edge")
+
+        def world_at(du, dv, dy, dx):
+            ds = _shifted(pad, 1, dy, dx, H, W)
+            ds = jnp.where((ds <= 0.0) | (ds >= 1.0), d, ds)[..., None]
+            return (
+                _shifted(a_pad, 1, dy, dx, H, W)
+                + _shifted(b_pad, 1, dy, dx, H, W) * ds
+            )
+    else:
+        u = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
+        v = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
+        uu, vv = jnp.meshgrid(u, v)
+
+        def world_at(du, dv, dy, dx):
+            ds = _shifted(pad, 1, dy, dx, H, W)
+            ds = jnp.where((ds <= 0.0) | (ds >= 1.0), d, ds)
+            coords = jnp.stack([uu + du / W, vv + dv / H, ds], axis=-1)
+            return trilinear_3d(cv_xyz, coords)
 
     world_t = world_at(0.0, 1.0, 1, 0)   # tex_pos + (0, +texSizeInv.y)
     world_b = world_at(0.0, -1.0, -1, 0)
@@ -302,6 +316,7 @@ def quality(
     normal: jnp.ndarray,
     cv_xyz: jnp.ndarray,
     camera_position: jnp.ndarray,
+    pixel_model=None,
 ) -> jnp.ndarray:
     """Per-pixel fusion weight, pre_quality.fs:65-119.
 
@@ -338,10 +353,13 @@ def quality(
     q = q / jnp.maximum(d * 6.5, 1e-20)
 
     # viewing-angle weight (:43-48, :113-114)
-    u = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
-    v = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
-    uu, vv = jnp.meshgrid(u, v)
-    world_pos = trilinear_3d(cv_xyz, jnp.stack([uu, vv, d], axis=-1))
+    if pixel_model is not None:
+        world_pos = pixel_model[0] + pixel_model[1] * d[..., None]
+    else:
+        u = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
+        v = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
+        uu, vv = jnp.meshgrid(u, v)
+        world_pos = trilinear_3d(cv_xyz, jnp.stack([uu, vv, d], axis=-1))
     to_cam = camera_position - world_pos
     to_cam = to_cam / jnp.maximum(jnp.linalg.norm(to_cam, axis=-1, keepdims=True), 1e-20)
     angle = jnp.sum(to_cam * normal, axis=-1)
@@ -362,15 +380,18 @@ def preprocess_sensor(
     morph: bool = True,
     bilateral: bool = True,
     refine: bool = True,
+    pixel_model=None,
 ):
     """Full single-sensor chain (order: NetKinectArray.cpp:311-428)."""
     d_m = morph_dilate(raw_depth) if morph else raw_depth
     depth2, lab = bilateral_lab(
-        d_m, color, cv_xyz, cv_uv, bbox_min, bbox_max, depth_limits, bilateral
+        d_m, color, cv_xyz, cv_uv, bbox_min, bbox_max, depth_limits,
+        bilateral, pixel_model=pixel_model,
     )
     depth2, sil = boundary(depth2, lab, refine)
-    nrm = normals(depth2, cv_xyz)
-    qual = quality(depth2, nrm, cv_xyz, camera_position)
+    nrm = normals(depth2, cv_xyz, pixel_model=pixel_model)
+    qual = quality(depth2, nrm, cv_xyz, camera_position,
+                   pixel_model=pixel_model)
     return depth2, lab, sil, nrm, qual, d_m
 
 
@@ -386,15 +407,27 @@ def preprocess_frames(
     morph: bool = True,
     bilateral: bool = True,
     refine: bool = True,
+    pixel_models=None,  # calib.sensors.PixelModels (stacked over sensors)
 ) -> SensorMaps:
     """vmapped multi-sensor preprocessing — one fused XLA program for the
     whole chain over all sensors."""
     fn = functools.partial(
         preprocess_sensor, morph=morph, bilateral=bilateral, refine=refine
     )
-    depth2, lab, sil, nrm, qual, d_m = jax.vmap(
-        fn, in_axes=(0, 0, 0, 0, None, None, 0, 0)
-    )(depths, colors, cv_xyz, cv_uv, bbox_min, bbox_max, depth_limits, camera_positions)
+    if pixel_models is not None:
+        pm = (pixel_models.ray_a, pixel_models.ray_b, pixel_models.uv_p,
+              pixel_models.uv_q, pixel_models.uv_r)
+        depth2, lab, sil, nrm, qual, d_m = jax.vmap(
+            lambda d, c, cx, cu, dl, cp, pm_: fn(
+                d, c, cx, cu, bbox_min, bbox_max, dl, cp, pixel_model=pm_
+            ),
+            in_axes=(0, 0, 0, 0, 0, 0, 0),
+        )(depths, colors, cv_xyz, cv_uv, depth_limits, camera_positions, pm)
+    else:
+        depth2, lab, sil, nrm, qual, d_m = jax.vmap(
+            fn, in_axes=(0, 0, 0, 0, None, None, 0, 0)
+        )(depths, colors, cv_xyz, cv_uv, bbox_min, bbox_max, depth_limits,
+          camera_positions)
     return SensorMaps(
         depth=depth2, lab=lab, silhouette=sil, normal=nrm, quality=qual,
         raw_depth=d_m, color=colors,

@@ -91,23 +91,43 @@ def _intersect_unit_box(origin: jnp.ndarray, direction: jnp.ndarray):
     return t0, t1
 
 
+def _nearest_sample(vol_flat: jnp.ndarray, shape, pos: jnp.ndarray):
+    """Nearest-voxel volume sample: one gather row per position (vs 8 for
+    trilinear — the dominant cost at XLA's ~140M gather-rows/s)."""
+    D, H, W = shape
+    xi = jnp.clip((pos[..., 0] * W).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip((pos[..., 1] * H).astype(jnp.int32), 0, H - 1)
+    zi = jnp.clip((pos[..., 2] * D).astype(jnp.int32), 0, D - 1)
+    return vol_flat[(zi * H + yi) * W + xi]
+
+
 def march(
     volume: jnp.ndarray,         # (Z, Y, X) TSDF
     cam_pos_vol: jnp.ndarray,    # (3,) camera in volume-normalized coords
-    ray_dirs_vol: jnp.ndarray,   # (H, W, 3) directions in volume coords
+    ray_dirs_vol: jnp.ndarray,   # (..., 3) directions in volume coords
     limit: float,
     max_steps: int,
     start_end: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    mode: str = "trilinear",
 ):
     """Core marching loop (tsdf_raymarch.fs:62-114).
 
     Args:
-      start_end: optional per-pixel (start_pos (H,W,3), ray_length (H,W))
+      start_end: optional per-pixel (start_pos (..., 3), ray_length (...))
         from the brick depth-interval pass (skipSpace path, :69-74).
+      mode: "trilinear" — the reference's exact sampling (8 gather rows per
+        ray per step); "nearest" — the TPU fast path: nearest-voxel stepping
+        (1 gather row per ray per step) with a final trilinear secant
+        re-refinement at the crossing. The crossing is localised to the same
+        inter-step bracket in both modes whenever the trilinear field
+        crosses zero within a voxel of the nearest-field crossing — true
+        everywhere except sub-voxel grazing contacts.
 
-    Returns (hit (H,W) bool, hit_pos (H,W,3), num_samples (H,W) int32).
+    Returns (hit (...) bool, hit_pos (..., 3), num_samples (...) int32).
     """
     vol4 = volume[..., None]
+    vol_flat = volume.reshape(-1)
+    nearest = mode == "nearest"
     sample_distance = limit * 0.5
     dn = ray_dirs_vol / jnp.linalg.norm(ray_dirs_vol, axis=-1, keepdims=True)
     step_vec = dn * sample_distance
@@ -128,13 +148,13 @@ def march(
         pos0, ray_len = start_end
         max_num = jnp.ceil(ray_len / sample_distance).astype(jnp.int32)
 
-    H, W = ray_dirs_vol.shape[:2]
+    batch = ray_dirs_vol.shape[:-1]
     init = (
         jnp.int32(0),                               # step index
-        jnp.zeros((H, W), bool),                    # hit
-        jnp.full((H, W), -limit, jnp.float32),      # prev_density (:89)
-        jnp.zeros((H, W, 3), jnp.float32),          # hit_pos
-        jnp.zeros((H, W), jnp.int32),               # num_samples
+        jnp.zeros(batch, bool),                     # hit
+        jnp.full(batch, -limit, jnp.float32),       # prev_density (:89)
+        jnp.zeros(batch + (3,), jnp.float32),       # hit_pos
+        jnp.zeros(batch, jnp.int32),                # num_samples
     )
 
     # uniform early exit: a while_loop runs only as long as the SLOWEST ray
@@ -150,7 +170,10 @@ def march(
         k, hit, prev, hit_pos, num = carry
         active = (~hit) & (k < max_num)
         pos = pos0 + step_vec * k.astype(jnp.float32)
-        density = trilinear_3d(vol4, pos)[..., 0]
+        if nearest:
+            density = _nearest_sample(vol_flat, volume.shape, pos)
+        else:
+            density = trilinear_3d(vol4, pos)[..., 0]
         found = active & (density > 0.0)
         denom = density - prev
         refined = (pos - step_vec) - step_vec * (
@@ -162,20 +185,41 @@ def march(
         return (k + 1, hit | found, prev, hit_pos, num)
 
     (_, hit, _, hit_pos, num) = jax.lax.while_loop(cond, body, init)
+
+    if nearest:
+        # trilinear re-refinement at the crossing bracket: reproduce the
+        # reference's secant on trilinear samples (:98-101) for hit rays
+        p1 = pos0 + step_vec * (num[..., None].astype(jnp.float32) - 1.0)
+        v1 = trilinear_3d(vol4, p1)[..., 0]
+        v0 = trilinear_3d(vol4, p1 - step_vec)[..., 0]
+        denom = v1 - v0
+        ok = hit & (v1 > 0.0) & (v0 <= 0.0)
+        refined = (p1 - step_vec) - step_vec * (
+            v0 / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+        )[..., None]
+        hit_pos = jnp.where(ok[..., None], refined, hit_pos)
+
     return hit, hit_pos, num
 
 
-def gradient_normal(volume: jnp.ndarray, pos: jnp.ndarray, limit: float) -> jnp.ndarray:
+def gradient_normal(volume: jnp.ndarray, pos: jnp.ndarray, limit: float,
+                    mode: str = "trilinear") -> jnp.ndarray:
     """Central-difference TSDF gradient, negated and normalized
-    (get_gradient, tsdf_raymarch.fs:148-157). In volume-normalized space."""
+    (get_gradient, tsdf_raymarch.fs:148-157). In volume-normalized space.
+    mode="nearest" uses nearest-voxel samples (6 vs 48 gather rows/pos)."""
     vol4 = volume[..., None]
+    vol_flat = volume.reshape(-1)
     sd = limit * 0.5
     ex = jnp.array([sd, 0, 0], jnp.float32)
     ey = jnp.array([0, sd, 0], jnp.float32)
     ez = jnp.array([0, 0, sd], jnp.float32)
 
-    def s(p):
-        return trilinear_3d(vol4, p)[..., 0]
+    if mode == "nearest":
+        def s(p):
+            return _nearest_sample(vol_flat, volume.shape, p)
+    else:
+        def s(p):
+            return trilinear_3d(vol4, p)[..., 0]
 
     g = jnp.stack(
         [
@@ -186,6 +230,85 @@ def gradient_normal(volume: jnp.ndarray, pos: jnp.ndarray, limit: float) -> jnp.
         axis=-1,
     )
     return -g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-20)
+
+
+def blend_colors_fast(
+    sample_pos: jnp.ndarray,     # (..., 3) volume-normalized hit positions
+    cv_xyz_inv: jnp.ndarray,     # (N, Dz, Hy, Wx, 4)
+    cv_uv: jnp.ndarray,          # (N, D, Hv, Wv, 2)
+    colors: jnp.ndarray,         # (N, Hc, Wc, 3)
+    depths: jnp.ndarray,         # (N, H, W)
+    qualities: jnp.ndarray,      # (N, H, W)
+    limit: float,
+):
+    """TPU fast variant of :func:`blend_colors`: identical blend formula
+    (quality/(dist+0.01) weights, inverse-distance fallback,
+    tsdf_raymarch.fs:303-338) but the calibration-volume lookups are
+    nearest-sampled (1 gather row each vs 8 for trilinear — the calibration
+    volumes vary smoothly at voxel scale) and depth+quality are fetched
+    together as packed rows. ~3x fewer gather rows per hit."""
+    N = colors.shape[0]
+    H, W = depths.shape[1:3]
+
+    total_c = jnp.zeros(sample_pos.shape[:-1] + (3,), jnp.float32)
+    total_w = jnp.zeros(sample_pos.shape[:-1], jnp.float32)
+    total_c2 = jnp.zeros_like(total_c)
+    total_w2 = jnp.zeros_like(total_w)
+
+    # packed (N*H*W, 2) rows: [depth, quality]
+    dq = jnp.stack([depths, qualities], axis=-1).reshape(N * H * W, 2)
+
+    def nearest_rows(vol, pos):
+        D_, H_, W_, C_ = vol.shape
+        xi = jnp.clip((pos[..., 0] * W_).astype(jnp.int32), 0, W_ - 1)
+        yi = jnp.clip((pos[..., 1] * H_).astype(jnp.int32), 0, H_ - 1)
+        zi = jnp.clip((pos[..., 2] * D_).astype(jnp.int32), 0, D_ - 1)
+        return vol.reshape(-1, C_)[(zi * H_ + yi) * W_ + xi]
+
+    for i in range(N):
+        lookup = nearest_rows(cv_xyz_inv[i], sample_pos)
+        pos_calib = lookup[..., :3]
+        in_frustum = lookup[..., 3] > 0.99
+        pos_color = nearest_rows(cv_uv[i], pos_calib)[..., :2]
+        col = bilinear_2d(colors[i], pos_color)
+
+        # bilinear depth+quality in one packed gather per corner
+        cx = pos_calib[..., 0] * W - 0.5
+        cy = pos_calib[..., 1] * H - 0.5
+        x0f, y0f = jnp.floor(cx), jnp.floor(cy)
+        fx, fy = (cx - x0f)[..., None], (cy - y0f)[..., None]
+        x0 = jnp.clip(x0f.astype(jnp.int32), 0, W - 1)
+        x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, W - 1)
+        y0 = jnp.clip(y0f.astype(jnp.int32), 0, H - 1)
+        y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, H - 1)
+        base = i * H * W
+
+        def rows(yy, xx):
+            return dq[base + yy * W + xx]
+
+        c00, c01 = rows(y0, x0), rows(y0, x1)
+        c10, c11 = rows(y1, x0), rows(y1, x1)
+        dqv = (c00 * (1 - fx) + c01 * fx) * (1 - fy) + (
+            c10 * (1 - fx) + c11 * fx
+        ) * fy
+        depth, qual = dqv[..., 0], dqv[..., 1]
+
+        dist = jnp.abs(depth - pos_calib[..., 2])
+        qual = jnp.where((dist < limit) & in_frustum, qual, 0.0)
+
+        w = qual / (dist + 0.01)
+        total_c = total_c + col * w[..., None]
+        total_w = total_w + w
+        w2 = jnp.where(in_frustum, 1.0 / jnp.maximum(dist, 1e-20), 0.0)
+        total_c2 = total_c2 + col * w2[..., None]
+        total_w2 = total_w2 + w2
+
+    use_primary = total_w > 0.0
+    primary = total_c / jnp.maximum(total_w, 1e-20)[..., None]
+    fallback = total_c2 / jnp.maximum(total_w2, 1e-20)[..., None]
+    rgb = jnp.where(use_primary[..., None], primary, fallback)
+    alpha = jnp.where(use_primary, 1.0, -1.0)
+    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
 
 
 def blend_colors(

@@ -73,9 +73,26 @@ class TsdfPipeline:
             brick_size=self.config.brick_size,
             min_voxels=self.config.min_voxels_per_brick,
         )
+        # Brick-compact integration (ops/tsdf.py, integrate_bricks) needs the
+        # brick edge to be an integer number of voxels — true for the
+        # reference defaults (10 cm bricks / 1 cm voxels).
+        ratio = self.config.brick_size / self.config.voxel_size
+        self.brick_vox = int(round(ratio))
+        self.compact = (
+            self.config.bricking
+            and abs(ratio - self.brick_vox) < 1e-6
+            and self.brick_vox >= 1
+            and tsdf.brick_layout(self.volume_grid.shape, self.brick_vox)[0]
+            == self.brick_grid.shape
+        )
+
         # frame-invariant per-voxel projections (ops/tsdf.py): one gather at
         # setup instead of one per frame
-        if self.config.precompute_projections:
+        if self.compact:
+            self.projections = tsdf.bake_projections_bricks(
+                self.calib.cv_xyz_inv, self.volume_grid.shape, self.brick_vox
+            )
+        elif self.config.precompute_projections:
             self.projections = tsdf.bake_projections(
                 self.calib.cv_xyz_inv, self.volume_grid.shape
             )
@@ -84,11 +101,36 @@ class TsdfPipeline:
         self._preprocess = jax.jit(self._preprocess_impl)
         self._integrate = jax.jit(self._integrate_impl)
         self._fuse = jax.jit(self._fuse_impl)
+        self._pixel_models_cache = {}
+
+    def _get_pixel_models(self, depth_hw):
+        """Per-pixel calibration closed forms for this depth resolution
+        (calib.sensors.PixelModels), derived once and cached. Returns None
+        when disabled or when the fit residual exceeds ~1 depth pixel."""
+        if not self.config.pixel_ray_model:
+            return None
+        key = tuple(depth_hw)
+        if key not in self._pixel_models_cache:
+            from ..calib.sensors import derive_pixel_models
+
+            models, residual = derive_pixel_models(
+                self.calib.cv_xyz, self.calib.cv_uv, key
+            )
+            # residual is in normalized (u,v,d)/world units; ~2e-3 is about
+            # one pixel at reference sensor resolution
+            if residual > 2e-3:
+                print(
+                    f"pixel-ray model residual {residual:.2e} too large; "
+                    "falling back to calibration-volume lookups"
+                )
+                models = None
+            self._pixel_models_cache[key] = models
+        return self._pixel_models_cache[key]
 
     # -- stages (pure over their array arguments) ---------------------------
 
     def _preprocess_impl(
-        self, calib: CalibrationSet, frames: FrameSet
+        self, calib: CalibrationSet, pixel_models, frames: FrameSet
     ) -> Tuple[SensorMaps, jnp.ndarray]:
         c = self.config
         maps = preprocess_frames(
@@ -103,25 +145,30 @@ class TsdfPipeline:
             morph=c.morph,
             bilateral=c.bilateral and c.processed,
             refine=c.refine,
+            pixel_models=pixel_models,
         )
-        counts = self._mark_bricks(calib, maps)
+        counts = self._mark_bricks(calib, pixel_models, maps)
         return maps, counts
 
-    def _mark_bricks(self, calib: CalibrationSet, maps: SensorMaps) -> jnp.ndarray:
+    def _mark_bricks(
+        self, calib: CalibrationSet, pixel_models, maps: SensorMaps
+    ) -> jnp.ndarray:
         """Brick occupancy from valid depth pixels (the pre_normal.fs side
         effect, glsl/pre_normal.fs:32-34 + inc_bricks.glsl:40-58)."""
         N, H, W = maps.depth.shape[:3]
-        u = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
-        v = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
-        uu, vv = jnp.meshgrid(u, v)
+        d_all = maps.depth[..., 0]
+        valids = (d_all > 0.0) & (d_all < 1.0)
+        if pixel_models is not None:
+            worlds = pixel_models.world(d_all)
+        else:
+            u = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
+            v = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
+            uu, vv = jnp.meshgrid(u, v)
 
-        def world_of(cv_xyz_i, depth_i):
-            d = depth_i[..., 0]
-            valid = (d > 0.0) & (d < 1.0)
-            w = trilinear_3d(cv_xyz_i, jnp.stack([uu, vv, d], axis=-1))
-            return w, valid
+            def world_of(cv_xyz_i, d):
+                return trilinear_3d(cv_xyz_i, jnp.stack([uu, vv, d], axis=-1))
 
-        worlds, valids = jax.vmap(world_of)(calib.cv_xyz, maps.depth)
+            worlds = jax.vmap(world_of)(calib.cv_xyz, d_all)
         return brick_ops.mark_bricks(
             worlds,
             valids,
@@ -150,6 +197,22 @@ class TsdfPipeline:
         brick_counts: jnp.ndarray,
     ) -> jnp.ndarray:
         c = self.config
+        if self.compact:
+            ids = tsdf.occupied_brick_ids(
+                brick_counts, c.min_voxels_per_brick, c.brick_capacity
+            )
+            return tsdf.integrate_bricks(
+                projections,
+                ids,
+                maps.depth[..., 0],
+                maps.quality,
+                maps.silhouette,
+                c.tsdf_limit,
+                self.volume_grid.shape,
+                self.brick_vox,
+                carve_sil_threshold=c.carve_sil_threshold,
+                phantom_hull=c.phantom_hull,
+            )
         return tsdf.integrate(
             self.volume_grid.shape,
             calib.cv_xyz_inv,
@@ -164,16 +227,18 @@ class TsdfPipeline:
         )
 
     def _fuse_impl(
-        self, calib: CalibrationSet, projections, frames: FrameSet
+        self, calib: CalibrationSet, projections, pixel_models,
+        frames: FrameSet
     ) -> Tuple[jnp.ndarray, SensorMaps, jnp.ndarray]:
-        maps, counts = self._preprocess_impl(calib, frames)
+        maps, counts = self._preprocess_impl(calib, pixel_models, frames)
         volume = self._integrate_impl(calib, projections, maps, counts)
         return volume, maps, counts
 
     # -- public API --------------------------------------------------------
 
     def preprocess(self, frames: FrameSet):
-        return self._preprocess(self.calib, frames)
+        pm = self._get_pixel_models(frames.depths.shape[1:3])
+        return self._preprocess(self.calib, pm, frames)
 
     def integrate(self, maps: SensorMaps, brick_counts: jnp.ndarray) -> jnp.ndarray:
         return self._integrate(self.calib, self.projections, maps, brick_counts)
@@ -187,13 +252,15 @@ class TsdfPipeline:
         (intermediates stay on device either way). `fuse_single_program()`
         exposes the monolith for callers that want one dispatch.
         """
-        maps, counts = self._preprocess(self.calib, frames)
+        pm = self._get_pixel_models(frames.depths.shape[1:3])
+        maps, counts = self._preprocess(self.calib, pm, frames)
         volume = self._integrate(self.calib, self.projections, maps, counts)
         return volume, maps, counts
 
     def fuse_single_program(self, frames: FrameSet):
         """The whole frame update as ONE jitted XLA program."""
-        return self._fuse(self.calib, self.projections, frames)
+        pm = self._get_pixel_models(frames.depths.shape[1:3])
+        return self._fuse(self.calib, self.projections, pm, frames)
 
     def make_render_fn(
         self,
@@ -226,19 +293,46 @@ class TsdfPipeline:
 
         def render(volume, maps: SensorMaps, brick_counts, calib, dirs_vol):
             bbox_min = calib.bbox_min
+            H, W = dirs_vol.shape[:2]
             start_end = None
             if c.skip_space and brick_counts is not None and c.bricking:
                 occ = brick_ops.occupied_mask(brick_counts, c.min_voxels_per_brick)
                 start_end = raymarch_brick_interval(
                     occ, eye_vol, dirs_vol, self.brick_grid.res
                 )
+
+            # ray compaction: only pixels whose brick interval is nonempty
+            # march and shade (typically 20-40% of the screen); results
+            # scatter back into the full image before colorfill. Fixed
+            # capacity keeps shapes static for jit.
+            compact_rays = (
+                c.ray_compaction > 0.0 and start_end is not None
+            )
+            if compact_rays:
+                M = H * W
+                cap = -(-int(M * c.ray_compaction) // 128) * 128
+                pos0_f = start_end[0].reshape(M, 3)
+                len_f = start_end[1].reshape(M)
+                dirs_f = dirs_vol.reshape(M, 3)
+                (ray_idx,) = jnp.nonzero(len_f > 0.0, size=cap, fill_value=M)
+                safe = jnp.minimum(ray_idx, M - 1)
+                dirs_b = dirs_f[safe]
+                se_b = (pos0_f[safe],
+                        jnp.where(ray_idx < M, len_f[safe], 0.0))
+            else:
+                dirs_b = dirs_vol
+                se_b = start_end
+
             hit, hit_pos, num = raymarch.march(
-                volume, eye_vol, dirs_vol, c.tsdf_limit, max_steps, start_end
+                volume, eye_vol, dirs_b, c.tsdf_limit, max_steps, se_b,
+                mode=c.march_mode,
             )
 
             # normals: volume-space gradient -> world via inverse-transpose
             # of the (diagonal) vol_to_world scale (recon_integration.cpp:200)
-            grad = raymarch.gradient_normal(volume, hit_pos, c.tsdf_limit)
+            grad = raymarch.gradient_normal(
+                volume, hit_pos, c.tsdf_limit, mode=c.march_mode
+            )
             n_world = grad / bbox_sz
             n_world = n_world / jnp.maximum(
                 jnp.linalg.norm(n_world, axis=-1, keepdims=True), 1e-20
@@ -258,7 +352,12 @@ class TsdfPipeline:
                 )
                 rgba = jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], axis=-1)
             else:
-                rgba = raymarch.blend_colors(
+                blend = (
+                    raymarch.blend_colors_fast
+                    if c.march_mode == "nearest"
+                    else raymarch.blend_colors
+                )
+                rgba = blend(
                     hit_pos,
                     calib.cv_xyz_inv,
                     calib.cv_uv,
@@ -279,6 +378,29 @@ class TsdfPipeline:
             depth_win = camera.window_depth(-view_pos[..., 2])
             depth_win = jnp.where(hit, depth_win, 1.0)
             rgba = jnp.where(hit[..., None], rgba, 0.0)
+
+            if compact_rays:
+                # scatter compacted results back to the full image
+                rgba = (
+                    jnp.zeros((M, 4), jnp.float32)
+                    .at[ray_idx].set(rgba, mode="drop")
+                    .reshape(H, W, 4)
+                )
+                depth_win = (
+                    jnp.ones((M,), jnp.float32)
+                    .at[ray_idx].set(depth_win, mode="drop")
+                    .reshape(H, W)
+                )
+                hit = (
+                    jnp.zeros((M,), bool)
+                    .at[ray_idx].set(hit, mode="drop")
+                    .reshape(H, W)
+                )
+                num = (
+                    jnp.zeros((M,), jnp.int32)
+                    .at[ray_idx].set(num, mode="drop")
+                    .reshape(H, W)
+                )
 
             if c.colorfill:
                 filled, depth_out = holefill.fill_colors(rgba, depth_win, num_lods)
@@ -333,8 +455,13 @@ def raymarch_brick_interval(
     MIN-blending) with a coarse masked march over the brick grid: sample the
     occupancy mask at ~half-brick steps along each ray; the first and last
     occupied samples bound the fine march.
+
+    Occupancy is nearest-sampled (exact brick membership, one gather row per
+    ray-step — trilinear would cost 8x here for a slightly dilated hull that
+    the ±1-brick interval padding below already provides).
     """
-    mask_f = occupied.astype(jnp.float32)[..., None]
+    mask_flat = occupied.astype(jnp.float32).reshape(-1)
+    Bz, By, Bx = occupied.shape
     dn = ray_dirs_vol / jnp.linalg.norm(ray_dirs_vol, axis=-1, keepdims=True)
 
     # coarse step: half of the smallest normalized brick extent
@@ -347,9 +474,9 @@ def raymarch_brick_interval(
     t_far = jnp.where(valid_box, t1, 0.0)
     n_steps = int(np.ceil(np.sqrt(3.0) / step_len)) + 2
 
-    H, W = ray_dirs_vol.shape[:2]
-    big = jnp.full((H, W), np.inf, jnp.float32)
-    init = (big, jnp.full((H, W), -np.inf, jnp.float32))
+    batch = ray_dirs_vol.shape[:-1]
+    big = jnp.full(batch, np.inf, jnp.float32)
+    init = (big, jnp.full(batch, -np.inf, jnp.float32))
 
     def body(carry, k):
         first, last = carry
@@ -357,7 +484,10 @@ def raymarch_brick_interval(
         inside = (t <= t_far) & valid_box
         pos = cam_pos_vol + step_vec * t[..., None]
         # nearest-brick occupancy (floor indexing like get_id/index_3d)
-        occ = trilinear_3d(mask_f, pos)[..., 0] > 0.0
+        xi = jnp.clip((pos[..., 0] * Bx).astype(jnp.int32), 0, Bx - 1)
+        yi = jnp.clip((pos[..., 1] * By).astype(jnp.int32), 0, By - 1)
+        zi = jnp.clip((pos[..., 2] * Bz).astype(jnp.int32), 0, Bz - 1)
+        occ = mask_flat[(zi * By + yi) * Bx + xi] > 0.0
         occ = occ & inside
         first = jnp.where(occ & (t < first), t, first)
         last = jnp.where(occ & (t > last), t, last)

@@ -220,3 +220,64 @@ def test_quality_flat_wall_positive_and_depth_scaled():
     np.testing.assert_allclose(center, expect, rtol=0.05)
     # invalid pixels have zero quality
     assert q[0, 0] == 0.0 or depth2[0, 0, 0] > 0
+
+
+def test_pixel_ray_model_matches_volume_lookups():
+    """PixelModels closed forms must reproduce the cv_xyz/cv_uv trilinear
+    lookups (exactly, for the pinhole synthetic rig) through the whole
+    preprocess chain."""
+    import jax
+
+    from rgbd_recon_tpu.calib.sensors import (
+        build_synthetic_calibration,
+        derive_pixel_models,
+    )
+    from rgbd_recon_tpu.core.grid import BoundingBox
+    from rgbd_recon_tpu.ops.preprocess import preprocess_frames
+    from rgbd_recon_tpu.sensors.synthetic import (
+        SyntheticScene,
+        default_test_rig,
+        render_rig_frames,
+    )
+
+    bbox = BoundingBox(min=(-1.0, 0.0, -1.0), max=(1.0, 2.2, 1.0))
+    rig = default_test_rig(num_sensors=2, depth_size=(48, 40),
+                           color_size=(64, 48), bbox=bbox)
+    calib = build_synthetic_calibration(rig, bbox, cv_res=(16, 24, 16),
+                                        inv_res=(24, 28, 24))
+    frames = render_rig_frames(
+        SyntheticScene(spheres=[((0.0, 1.1, 0.0), 0.55)]), rig
+    )
+
+    models, residual = derive_pixel_models(calib.cv_xyz, calib.cv_uv, (40, 48))
+    assert residual < 2e-3, residual
+
+    kw = dict(
+        cv_xyz=calib.cv_xyz, cv_uv=calib.cv_uv, bbox_min=calib.bbox_min,
+        bbox_max=calib.bbox_max, depth_limits=calib.depth_limits,
+        camera_positions=calib.camera_positions,
+    )
+    m_vol = jax.jit(
+        lambda d, c: preprocess_frames(d, c, **kw)
+    )(frames.depths, frames.colors)
+    m_fit = jax.jit(
+        lambda d, c: preprocess_frames(d, c, **kw, pixel_models=models)
+    )(frames.depths, frames.colors)
+
+    np.testing.assert_allclose(
+        np.asarray(m_fit.depth), np.asarray(m_vol.depth), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_fit.silhouette), np.asarray(m_vol.silhouette), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_fit.lab), np.asarray(m_vol.lab), atol=5e-2
+    )
+    # normals: compare only where both valid (unit vectors)
+    nv, nf = np.asarray(m_vol.normal), np.asarray(m_fit.normal)
+    both = (np.linalg.norm(nv, axis=-1) > 0.5) & (np.linalg.norm(nf, axis=-1) > 0.5)
+    dots = (nv[both] * nf[both]).sum(-1)
+    assert np.quantile(dots, 0.05) > 0.99
+    np.testing.assert_allclose(
+        np.asarray(m_fit.quality), np.asarray(m_vol.quality), atol=1e-3
+    )

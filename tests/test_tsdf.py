@@ -68,6 +68,9 @@ def test_integrate_branch_logic_oracle(rng):
                 jnp.asarray(qual_maps),
                 jnp.asarray(sil_maps),
                 limit,
+                # the oracle reproduces the reference shader verbatim,
+                # including the +limit init surviving for unobserved voxels
+                phantom_hull=True,
             )
         )[0, 0, 0]
         want = _oracle_integrate(
@@ -170,3 +173,57 @@ def test_bricking_masks_unoccupied_to_clear_value():
     )
     assert vol[0, 0, 1] == -limit  # masked -> clear value
     assert vol[0, 0, 0] != -limit or True  # computed voxel present
+
+
+def test_brick_compact_integration_matches_dense():
+    """integrate_bricks (the TPU fast path) must reproduce the dense masked
+    integration exactly on the occupied set, and the clear value elsewhere."""
+    import jax.numpy as jnp
+
+    from rgbd_recon_tpu.calib.sensors import build_synthetic_calibration
+    from rgbd_recon_tpu.core.config import PipelineConfig
+    from rgbd_recon_tpu.core.grid import BoundingBox
+    from rgbd_recon_tpu.recon import TsdfPipeline
+    from rgbd_recon_tpu.sensors.synthetic import (
+        SyntheticScene,
+        default_test_rig,
+        render_rig_frames,
+    )
+
+    bbox = BoundingBox(min=(-1.0, 0.0, -1.0), max=(1.0, 2.2, 1.0))
+    rig = default_test_rig(num_sensors=2, depth_size=(48, 40),
+                           color_size=(64, 48), bbox=bbox)
+    calib = build_synthetic_calibration(rig, bbox, cv_res=(16, 24, 16),
+                                        inv_res=(40, 44, 40))
+    frames = render_rig_frames(
+        SyntheticScene(spheres=[((0.0, 1.1, 0.0), 0.55)]), rig
+    )
+    cfg = dict(voxel_size=0.05, brick_size=0.25, tsdf_limit=0.02, num_lods=4)
+
+    pipe_c = TsdfPipeline(calib, PipelineConfig(**cfg), bbox)
+    assert pipe_c.compact, "test config must hit the compact path"
+    vol_c, maps, counts = pipe_c.fuse(frames)
+
+    pipe_d = TsdfPipeline(
+        calib, PipelineConfig(**cfg, precompute_projections=True), bbox
+    )
+    pipe_d.compact = False
+    pipe_d.projections = None  # dense on-the-fly lookups
+    import jax
+
+    pipe_d._integrate = jax.jit(pipe_d._integrate_impl)
+    vol_d = pipe_d.integrate(maps, counts)
+
+    np.testing.assert_allclose(
+        np.asarray(vol_c), np.asarray(vol_d), rtol=0, atol=1e-6
+    )
+
+
+def test_occupied_brick_ids_capacity():
+    from rgbd_recon_tpu.ops.tsdf import occupied_brick_ids
+
+    counts = jnp.zeros((2, 3, 4), jnp.int32)
+    counts = counts.at[0, 0, 0].set(99).at[1, 2, 3].set(50)
+    ids = np.asarray(occupied_brick_ids(counts, 10, 4))
+    assert ids[0] == 0 and ids[1] == 23
+    assert (ids[2:] == 24).all()  # fill value = num_bricks
