@@ -134,8 +134,16 @@ class PipelineConfig:
     # Fraction of screen pixels the compacted march processes (rays whose
     # brick interval is empty never march or shade). 0 disables compaction.
     # Active rays beyond capacity render as background; typical scenes
-    # activate 20-40% of pixels.
-    ray_compaction: float = 0.5
+    # activate 15-30% of pixels.
+    ray_compaction: float = 0.3
+    # Stride of the ray grid the brick-interval pass scans (intervals are
+    # conservatively pooled+broadcast to full resolution). 4 makes the pass
+    # 16x cheaper for one extra coarse step of interval padding.
+    interval_downsample: int = 4
+    # Two-phase march: all compacted rays march `march_phase1_steps`; the
+    # (few) rays still unfinished are re-compacted to 1/4 capacity and
+    # continue at narrow width. 0 disables the split.
+    march_phase1_steps: int = 24
     # True reproduces the reference's phantom hull surfaces: voxels of
     # occupied bricks observed by no sensor keep the +limit init
     # (tsdf_integration.vs:28), so carved->unobserved boundaries raymarch as

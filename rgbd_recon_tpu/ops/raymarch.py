@@ -109,6 +109,8 @@ def march(
     max_steps: int,
     start_end: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     mode: str = "trilinear",
+    prev0: Optional[jnp.ndarray] = None,
+    return_prev: bool = False,
 ):
     """Core marching loop (tsdf_raymarch.fs:62-114).
 
@@ -152,7 +154,8 @@ def march(
     init = (
         jnp.int32(0),                               # step index
         jnp.zeros(batch, bool),                     # hit
-        jnp.full(batch, -limit, jnp.float32),       # prev_density (:89)
+        (jnp.full(batch, -limit, jnp.float32)       # prev_density (:89)
+         if prev0 is None else prev0),
         jnp.zeros(batch + (3,), jnp.float32),       # hit_pos
         jnp.zeros(batch, jnp.int32),                # num_samples
     )
@@ -184,7 +187,7 @@ def march(
         prev = jnp.where(active, density, prev)
         return (k + 1, hit | found, prev, hit_pos, num)
 
-    (_, hit, _, hit_pos, num) = jax.lax.while_loop(cond, body, init)
+    (_, hit, prev_out, hit_pos, num) = jax.lax.while_loop(cond, body, init)
 
     if nearest:
         # trilinear re-refinement at the crossing bracket: reproduce the
@@ -199,6 +202,8 @@ def march(
         )[..., None]
         hit_pos = jnp.where(ok[..., None], refined, hit_pos)
 
+    if return_prev:
+        return hit, hit_pos, num, prev_out
     return hit, hit_pos, num
 
 
@@ -249,14 +254,43 @@ def blend_colors_fast(
     together as packed rows. ~3x fewer gather rows per hit."""
     N = colors.shape[0]
     H, W = depths.shape[1:3]
+    Hc, Wc = colors.shape[1:3]
 
     total_c = jnp.zeros(sample_pos.shape[:-1] + (3,), jnp.float32)
     total_w = jnp.zeros(sample_pos.shape[:-1], jnp.float32)
     total_c2 = jnp.zeros_like(total_c)
     total_w2 = jnp.zeros_like(total_w)
 
-    # packed (N*H*W, 2) rows: [depth, quality]
-    dq = jnp.stack([depths, qualities], axis=-1).reshape(N * H * W, 2)
+    # x-pair-packed rows (see ops/tsdf.py integrate_bricks): two x-taps per
+    # gather, so a bilinear needs 2 row gathers instead of 4
+    dq4 = jnp.stack([depths, qualities], axis=-1)
+    dq4 = jnp.concatenate(
+        [dq4, jnp.concatenate([dq4[:, :, 1:], dq4[:, :, -1:]], axis=2)],
+        axis=-1,
+    ).reshape(N * H * W, 4)
+    col8 = jnp.concatenate(
+        [colors, jnp.zeros_like(colors[..., :1])], axis=-1
+    )
+    col8 = jnp.concatenate(
+        [col8, jnp.concatenate([col8[:, :, 1:], col8[:, :, -1:]], axis=2)],
+        axis=-1,
+    ).reshape(N * Hc * Wc, 8)
+
+    def pair_bilinear(table, base, Ht, Wt, uv):
+        cx = uv[..., 0] * Wt - 0.5
+        cy = uv[..., 1] * Ht - 0.5
+        x0f, y0f = jnp.floor(cx), jnp.floor(cy)
+        fx = jnp.where(x0f < 0.0, 0.0, cx - x0f)[..., None]
+        fy = (cy - y0f)[..., None]
+        x0 = jnp.clip(x0f.astype(jnp.int32), 0, Wt - 1)
+        y0 = jnp.clip(y0f.astype(jnp.int32), 0, Ht - 1)
+        y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, Ht - 1)
+        r0 = table[base + y0 * Wt + x0]
+        r1 = table[base + y1 * Wt + x0]
+        half = table.shape[-1] // 2
+        c0 = r0[..., :half] * (1 - fx) + r0[..., half:] * fx
+        c1 = r1[..., :half] * (1 - fx) + r1[..., half:] * fx
+        return c0 * (1 - fy) + c1 * fy
 
     def nearest_rows(vol, pos):
         D_, H_, W_, C_ = vol.shape
@@ -270,27 +304,9 @@ def blend_colors_fast(
         pos_calib = lookup[..., :3]
         in_frustum = lookup[..., 3] > 0.99
         pos_color = nearest_rows(cv_uv[i], pos_calib)[..., :2]
-        col = bilinear_2d(colors[i], pos_color)
+        col = pair_bilinear(col8, i * Hc * Wc, Hc, Wc, pos_color)[..., :3]
 
-        # bilinear depth+quality in one packed gather per corner
-        cx = pos_calib[..., 0] * W - 0.5
-        cy = pos_calib[..., 1] * H - 0.5
-        x0f, y0f = jnp.floor(cx), jnp.floor(cy)
-        fx, fy = (cx - x0f)[..., None], (cy - y0f)[..., None]
-        x0 = jnp.clip(x0f.astype(jnp.int32), 0, W - 1)
-        x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, W - 1)
-        y0 = jnp.clip(y0f.astype(jnp.int32), 0, H - 1)
-        y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, H - 1)
-        base = i * H * W
-
-        def rows(yy, xx):
-            return dq[base + yy * W + xx]
-
-        c00, c01 = rows(y0, x0), rows(y0, x1)
-        c10, c11 = rows(y1, x0), rows(y1, x1)
-        dqv = (c00 * (1 - fx) + c01 * fx) * (1 - fy) + (
-            c10 * (1 - fx) + c11 * fx
-        ) * fy
+        dqv = pair_bilinear(dq4, i * H * W, H, W, pos_calib[..., :2])
         depth, qual = dqv[..., 0], dqv[..., 1]
 
         dist = jnp.abs(depth - pos_calib[..., 2])

@@ -298,7 +298,8 @@ class TsdfPipeline:
             if c.skip_space and brick_counts is not None and c.bricking:
                 occ = brick_ops.occupied_mask(brick_counts, c.min_voxels_per_brick)
                 start_end = raymarch_brick_interval(
-                    occ, eye_vol, dirs_vol, self.brick_grid.res
+                    occ, eye_vol, dirs_vol, self.brick_grid.res,
+                    downsample=c.interval_downsample,
                 )
 
             # ray compaction: only pixels whose brick interval is nonempty
@@ -323,10 +324,52 @@ class TsdfPipeline:
                 dirs_b = dirs_vol
                 se_b = start_end
 
-            hit, hit_pos, num = raymarch.march(
-                volume, eye_vol, dirs_b, c.tsdf_limit, max_steps, se_b,
-                mode=c.march_mode,
-            )
+            two_phase = compact_rays and c.march_phase1_steps > 0
+            if two_phase:
+                # phase 1: every compacted ray marches a few steps (most
+                # surface hits land within ~20 steps of the brick-interval
+                # start); phase 2 re-compacts the few long-interval rays
+                # (grazing/limb) to 1/4 width so the while_loop's uniform
+                # iteration count stops taxing the whole wavefront
+                sd = c.tsdf_limit * 0.5
+                # the brick interval starts up to pad_t coarse half-brick
+                # steps before the hull (conservative padding, see
+                # raymarch_brick_interval); phase 1 must cover that lead-in
+                # plus the configured surface-search budget
+                step_len = 0.5 / max(self.brick_grid.res)
+                pad_t = 3.0 if c.interval_downsample > 1 else 2.0
+                p1 = c.march_phase1_steps + int(np.ceil(pad_t * step_len / sd))
+                hit, hit_pos, num, prev = raymarch.march(
+                    volume, eye_vol, dirs_b, c.tsdf_limit, p1, se_b,
+                    mode=c.march_mode, return_prev=True,
+                )
+                pos0_b, len_b = se_b
+                max_num = jnp.ceil(len_b / sd).astype(jnp.int32)
+                unfinished = (~hit) & (max_num > p1)
+                cap2 = max(cap // 4, 128)
+                C1 = dirs_b.shape[0]
+                (idx2,) = jnp.nonzero(unfinished, size=cap2, fill_value=C1)
+                safe2 = jnp.minimum(idx2, C1 - 1)
+                dn_b = dirs_b / jnp.linalg.norm(
+                    dirs_b, axis=-1, keepdims=True
+                )
+                pos2 = (pos0_b + dn_b * (sd * p1))[safe2]
+                len2 = jnp.where(
+                    idx2 < C1, jnp.maximum(len_b[safe2] - sd * p1, 0.0), 0.0
+                )
+                hit2, hit_pos2, num2 = raymarch.march(
+                    volume, eye_vol, dirs_b[safe2], c.tsdf_limit,
+                    max_steps - p1, (pos2, len2), mode=c.march_mode,
+                    prev0=prev[safe2],
+                )
+                hit = hit.at[idx2].set(hit2, mode="drop")
+                hit_pos = hit_pos.at[idx2].set(hit_pos2, mode="drop")
+                num = num.at[idx2].add(num2, mode="drop")
+            else:
+                hit, hit_pos, num = raymarch.march(
+                    volume, eye_vol, dirs_b, c.tsdf_limit, max_steps, se_b,
+                    mode=c.march_mode,
+                )
 
             # normals: volume-space gradient -> world via inverse-transpose
             # of the (diagonal) vol_to_world scale (recon_integration.cpp:200)
@@ -446,6 +489,7 @@ def raymarch_brick_interval(
     cam_pos_vol: jnp.ndarray,  # (3,)
     ray_dirs_vol: jnp.ndarray,  # (H, W, 3)
     brick_res: tuple,
+    downsample: int = 1,
 ):
     """TPU-native space skipping: per-pixel [start, end] marching interval
     from the occupied-brick mask.
@@ -459,9 +503,19 @@ def raymarch_brick_interval(
     Occupancy is nearest-sampled (exact brick membership, one gather row per
     ray-step — trilinear would cost 8x here for a slightly dilated hull that
     the ±1-brick interval padding below already provides).
+
+    ``downsample`` > 1 marches the coarse scan on a strided ray grid and
+    broadcasts conservative (3x3 min/max-pooled, extra-padded) intervals to
+    the full grid — a 16x cheaper pass for a slightly wider fine-march
+    interval. Intervals vary smoothly across neighboring rays (the brick
+    hull is watertight at brick scale), so pooling over the adjacent coarse
+    rays brackets every fine ray.
     """
     mask_flat = occupied.astype(jnp.float32).reshape(-1)
     Bz, By, Bx = occupied.shape
+    full_dirs = ray_dirs_vol
+    if downsample > 1:
+        ray_dirs_vol = ray_dirs_vol[::downsample, ::downsample]
     dn = ray_dirs_vol / jnp.linalg.norm(ray_dirs_vol, axis=-1, keepdims=True)
 
     # coarse step: half of the smallest normalized brick extent
@@ -495,10 +549,47 @@ def raymarch_brick_interval(
 
     (first, last), _ = jax.lax.scan(body, init, jnp.arange(n_steps, dtype=jnp.int32))
 
-    found = jnp.isfinite(first)
     # pad one brick (2 half-brick steps) each side so boundary surfaces
     # are not clipped by the coarse sampling
     pad = 2.0
+
+    if downsample > 1:
+        # conservative 3x3 min/max pooling over the coarse grid, then
+        # broadcast to the full grid; one extra pad step absorbs the
+        # sub-block direction variation
+        def pool(x, op):
+            p = jnp.pad(x, 1, mode="edge")
+            out = x
+            for dy in (0, 1, 2):
+                for dx in (0, 1, 2):
+                    out = op(out, p[dy : dy + x.shape[0], dx : dx + x.shape[1]])
+            return out
+
+        first = pool(first, jnp.minimum)
+        last = pool(last, jnp.maximum)
+        H, W = full_dirs.shape[:2]
+        s = downsample
+
+        def up(x):
+            x = jnp.repeat(jnp.repeat(x, s, axis=0), s, axis=1)
+            x = jnp.pad(
+                x,
+                ((0, max(0, H - x.shape[0])), (0, max(0, W - x.shape[1]))),
+                mode="edge",
+            )
+            return x[:H, :W]
+
+        first = up(first)
+        last = up(last)
+        t_near = up(t_near)
+        t_far = up(t_far)
+        pad = pad + 1.0
+        dn_full = full_dirs / jnp.linalg.norm(
+            full_dirs, axis=-1, keepdims=True
+        )
+        step_vec = dn_full * step_len
+
+    found = jnp.isfinite(first) & jnp.isfinite(last)
     t_start = jnp.where(found, jnp.maximum(first - pad, t_near), 0.0)
     t_end = jnp.where(found, jnp.minimum(last + pad, t_far), 0.0)
     start_pos = cam_pos_vol + step_vec * t_start[..., None]
