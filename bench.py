@@ -21,15 +21,16 @@ import time
 
 import numpy as np
 
-# persistent compilation cache: first-round compiles are the dominant cost;
-# cache them across bench invocations (must be set before jax import)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-
 
 def main():
     import jax
+
+    # persistent compilation cache: first-round compiles are the dominant
+    # cost through the remote-compile transport; the env-var route is not
+    # honored under the tunneled TPU plugin (core/cache.py)
+    from rgbd_recon_tpu.core.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from rgbd_recon_tpu.bench import TimerDatabase
 

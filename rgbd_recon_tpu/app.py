@@ -334,6 +334,9 @@ def cmd_record(args):
 
 
 def main(argv=None):
+    from .core.cache import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser(prog="rgbd_recon_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 

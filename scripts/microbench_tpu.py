@@ -10,6 +10,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
+
+from rgbd_recon_tpu.core.cache import enable_compile_cache
+enable_compile_cache()
 import jax.numpy as jnp
 import numpy as np
 
