@@ -129,6 +129,140 @@ class PixelModels:
         return (self.uv_p[i] + self.uv_q[i] * de) / (1.0 + self.uv_r[i] * de)
 
 
+@struct.dataclass
+class ProjectionModels:
+    """Analytic world -> sensor closed forms (the inverse-direction
+    counterpart of :class:`PixelModels`).
+
+    For a pinhole sensor, the baked inverse volume cv_xyz_inv
+    (calibration_inverter.cpp:99-155) encodes, at world point p:
+
+      (u, v) = (A p + b) / (c . p + 1)   -- projective (shared denominator,
+                                            the view-space depth up to scale)
+      d      = g . p + h                 -- normalized depth, affine in p
+
+    and the color texcoord cv_uv o cv_xyz_inv composes to the same projective
+    form. Fitting these at setup turns the per-hit cv_xyz_inv + cv_uv
+    trilinear/nearest gathers of the color blend (tsdf_raymarch.fs:303-338)
+    into pure elementwise math. The fit residual is reported so callers fall
+    back to volume lookups for measured, non-pinhole calibrations."""
+
+    uv_num: jnp.ndarray    # (N, 2, 3) A
+    uv_off: jnp.ndarray    # (N, 2)    b
+    uv_den: jnp.ndarray    # (N, 3)    c
+    d_lin: jnp.ndarray     # (N, 3)    g
+    d_off: jnp.ndarray     # (N,)      h
+    cuv_num: jnp.ndarray   # (N, 2, 3) color-texcoord A
+    cuv_off: jnp.ndarray   # (N, 2)    b
+    cuv_den: jnp.ndarray   # (N, 3)    c
+
+    def uvd(self, i: int, p: jnp.ndarray) -> jnp.ndarray:
+        """(..., 3) world -> (..., 3) (u, v, depth_norm) for sensor i."""
+        den = p @ self.uv_den[i] + 1.0
+        den = jnp.where(jnp.abs(den) < 1e-8, 1e-8, den)
+        uv = (p @ self.uv_num[i].T + self.uv_off[i]) / den[..., None]
+        d = p @ self.d_lin[i] + self.d_off[i]
+        return jnp.concatenate([uv, d[..., None]], axis=-1)
+
+    def color_uv(self, i: int, p: jnp.ndarray) -> jnp.ndarray:
+        """(..., 3) world -> (..., 2) color texcoord for sensor i."""
+        den = p @ self.cuv_den[i] + 1.0
+        den = jnp.where(jnp.abs(den) < 1e-8, 1e-8, den)
+        return (p @ self.cuv_num[i].T + self.cuv_off[i]) / den[..., None]
+
+
+def derive_projection_models(
+    cv_xyz: jnp.ndarray,   # (N, D, Hv, Wv, 3)
+    cv_uv: jnp.ndarray,    # (N, D, Hv, Wv, 2)
+) -> Tuple["ProjectionModels", float]:
+    """Least-squares fit of ProjectionModels from the forward calibration
+    volumes; returns (models, max_residual) with the residual measured at a
+    held-out denser (u, v, d) grid including the depth endpoints
+    (normalized units, all channels)."""
+    import numpy as _np
+
+    xyz = _np.asarray(cv_xyz, _np.float64)
+    uvv = _np.asarray(cv_uv, _np.float64)
+    N, D, Hv, Wv, _ = xyz.shape
+
+    def grid(vol, nu, nv, nd):
+        # sample the volume at texel-exact positions (so no interpolation
+        # error enters the fit): pick texel centers on a strided subgrid
+        iw = _np.linspace(0, Wv - 1, nu).round().astype(int)
+        ih = _np.linspace(0, Hv - 1, nv).round().astype(int)
+        idd = _np.linspace(0, D - 1, nd).round().astype(int)
+        sub = vol[_np.ix_(idd, ih, iw)]
+        u = (iw + 0.5) / Wv
+        v = (ih + 0.5) / Hv
+        d = (idd + 0.5) / D
+        dd, vv_, uu = _np.meshgrid(d, v, u, indexing="ij")
+        return sub.reshape(-1, vol.shape[-1]), _np.stack(
+            [uu.ravel(), vv_.ravel(), dd.ravel()], axis=-1
+        )
+
+    def fit_projective(p, target):
+        """target = (A p + b) / (c.p + 1): linear system in (A, b, c)."""
+        M = p.shape[0]
+        ones = _np.ones((M, 1))
+        rows = _np.zeros((2 * M, 11))
+        rhs = _np.empty(2 * M)
+        for ch in range(2):
+            r = slice(ch * M, (ch + 1) * M)
+            rows[r, ch * 4 : ch * 4 + 3] = p
+            rows[r, ch * 4 + 3] = 1.0
+            rows[r, 8:11] = -target[:, ch : ch + 1] * p
+            rhs[r] = target[:, ch]
+        sol, *_ = _np.linalg.lstsq(rows, rhs, rcond=None)
+        A = _np.stack([sol[0:3], sol[4:7]])
+        b = _np.array([sol[3], sol[7]])
+        c = sol[8:11]
+        return A, b, c
+
+    out = {k: [] for k in ("uv_num", "uv_off", "uv_den", "d_lin", "d_off",
+                           "cuv_num", "cuv_off", "cuv_den")}
+    max_res = 0.0
+    for i in range(N):
+        world, uvd = grid(xyz[i], 9, 9, 7)
+        A, b, c = fit_projective(world, uvd[:, :2])
+        ph = _np.concatenate([world, _np.ones((world.shape[0], 1))], axis=-1)
+        gh, *_ = _np.linalg.lstsq(ph, uvd[:, 2], rcond=None)
+        # color texcoord: cv_uv sampled at the SAME sensor-space grid gives
+        # the composed world -> color map directly
+        cuv_t, _ = grid(uvv[i], 9, 9, 7)
+        A2, b2, c2 = fit_projective(world, cuv_t)
+
+        # held-out residual on a denser grid incl. depth endpoints
+        world_h, uvd_h = grid(xyz[i], 13, 13, D if D <= 16 else 16)
+        den = world_h @ c + 1.0
+        uv_m = (world_h @ A.T + b) / den[:, None]
+        d_m = world_h @ gh[:3] + gh[3]
+        res = _np.abs(_np.concatenate(
+            [uv_m - uvd_h[:, :2], (d_m - uvd_h[:, 2])[:, None]], axis=-1
+        )).max()
+        cuv_h, _ = grid(uvv[i], 13, 13, D if D <= 16 else 16)
+        den2 = world_h @ c2 + 1.0
+        cuv_m = (world_h @ A2.T + b2) / den2[:, None]
+        res = max(res, _np.abs(cuv_m - cuv_h).max())
+        max_res = max(max_res, float(res))
+
+        out["uv_num"].append(A)
+        out["uv_off"].append(b)
+        out["uv_den"].append(c)
+        out["d_lin"].append(gh[:3])
+        out["d_off"].append(gh[3])
+        out["cuv_num"].append(A2)
+        out["cuv_off"].append(b2)
+        out["cuv_den"].append(c2)
+
+    models = ProjectionModels(
+        **{
+            k: jnp.asarray(_np.stack(v).astype(_np.float32))
+            for k, v in out.items()
+        }
+    )
+    return models, max_res
+
+
 def derive_pixel_models(
     cv_xyz: jnp.ndarray,   # (N, D, Hv, Wv, 3)
     cv_uv: jnp.ndarray,    # (N, D, Hv, Wv, 2)

@@ -131,19 +131,40 @@ class PipelineConfig:
     # the crossing) or "trilinear" (the reference's exact per-step sampling,
     # 8 gather rows per ray-step). See ops/raymarch.py march().
     march_mode: str = "nearest"
-    # Fraction of screen pixels the compacted march processes (rays whose
-    # brick interval is empty never march or shade). 0 disables compaction.
-    # Active rays beyond capacity render as background; typical scenes
-    # activate 15-30% of pixels.
-    ray_compaction: float = 0.3
-    # Stride of the ray grid the brick-interval pass scans (intervals are
-    # conservatively pooled+broadcast to full resolution). 4 makes the pass
-    # 16x cheaper for one extra coarse step of interval padding.
+    # Fraction of screen BLOCKS (interval_downsample^2-pixel tiles) the
+    # compacted march processes; blocks whose brick interval is empty never
+    # march or shade. 0 disables compaction (dense full-screen march).
+    # Active blocks beyond capacity render as background and are counted in
+    # RenderOutput.overflow[0]; typical scenes activate 15-35% of blocks.
+    ray_compaction: float = 0.4
+    # Edge of the screen-tile blocks the interval pass scans (one coarse ray
+    # per block; intervals are conservatively 3x3-min/max-pooled across
+    # neighboring blocks). Also the block-compaction granularity.
     interval_downsample: int = 4
     # Two-phase march: all compacted rays march `march_phase1_steps`; the
-    # (few) rays still unfinished are re-compacted to 1/4 capacity and
+    # (few) rays still unfinished are re-compacted to 1/8 capacity and
     # continue at narrow width. 0 disables the split.
     march_phase1_steps: int = 24
+    # Coarse interval-scan step as a fraction of the brick edge. Smaller =
+    # more coarse samples but tighter intervals (shorter fine-march lead-in).
+    interval_step_frac: float = 0.25
+    # Fraction of compacted rays given hit-shading capacity (normals +
+    # color blending run on the compacted hit set only). Hits beyond
+    # capacity render as background and are counted in
+    # RenderOutput.overflow[1]. 0 disables hit compaction.
+    hit_compaction: float = 0.5
+    # Space-skip by bricks that can actually produce ray-surface crossings
+    # (any positive TSDF voxel in the 1-voxel-dilated brick) instead of the
+    # marked-occupancy mask, which includes silhouette-carve-only bricks
+    # that rays march end to end without hitting anything. Identical hit
+    # results, much tighter intervals.
+    surface_skip: bool = True
+    # Replace the per-hit cv_xyz_inv/cv_uv lookups of the color blend with
+    # analytic per-sensor projection models fitted at setup (exact for
+    # pinhole calibrations — more accurate than the k-NN/IDW-baked inverse
+    # volumes; automatic fallback to volume lookups when the fit residual
+    # exceeds ~a pixel). See calib.sensors.ProjectionModels.
+    projection_model: bool = True
     # True reproduces the reference's phantom hull surfaces: voxels of
     # occupied bricks observed by no sensor keep the +limit init
     # (tsdf_integration.vs:28), so carved->unobserved boundaries raymarch as

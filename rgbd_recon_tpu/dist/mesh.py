@@ -64,13 +64,16 @@ def shard_pipeline_step(pipeline, camera, mesh: Mesh, axis_name: str = "z"):
     bbox_size = tuple(float(s) for s in pipeline.bbox.size)
 
     calib = jax.device_put(pipeline.calib, repl)
-    render_fn, dirs_vol = pipeline.make_render_fn(camera)
-    dirs_vol = jax.device_put(dirs_vol, ray_sharding)
+    render_fn, cam0 = pipeline.make_render_fn(camera)
+    cam0 = jax.device_put(cam0, repl)
+    proj_models = pipeline._get_projection_models()
+    if proj_models is not None:
+        proj_models = jax.device_put(proj_models, repl)
 
     from ..ops import bricks as brick_ops
     from ..ops import tsdf as tsdf_ops
 
-    def step(frames, calib, dirs_vol, pixel_models):
+    def step(frames, calib, cam, pixel_models):
         maps, counts = pipeline._preprocess_impl(calib, pixel_models, frames)
 
         mask = None
@@ -90,10 +93,12 @@ def shard_pipeline_step(pipeline, camera, mesh: Mesh, axis_name: str = "z"):
             voxel_pos, calib.cv_xyz_inv,
             maps.depth[..., 0], maps.quality, maps.silhouette,
             cfg.tsdf_limit, voxel_mask=mask,
+            carve_sil_threshold=cfg.carve_sil_threshold,
+            phantom_hull=cfg.phantom_hull,
         )
         volume_p = jax.lax.with_sharding_constraint(volume_p, vol_sharding)
         volume = volume_p[:Z] if padz else volume_p
-        out = render_fn(volume, maps, counts, calib, dirs_vol)
+        out = render_fn(volume, maps, counts, calib, cam, proj_models)
         out = out.replace(
             color=jax.lax.with_sharding_constraint(out.color, ray_sharding)
         )
@@ -105,6 +110,6 @@ def shard_pipeline_step(pipeline, camera, mesh: Mesh, axis_name: str = "z"):
         pm = pipeline._get_pixel_models(frames.depths.shape[1:3])
         if pm is not None:
             pm = jax.device_put(pm, repl)
-        return jitted(frames, calib, dirs_vol, pm)
+        return jitted(frames, calib, cam0, pm)
 
     return run

@@ -131,8 +131,13 @@ def bilateral_lab(
     depth_limits: jnp.ndarray,  # (2,) near/far
     filter_on: bool = True,
     pixel_model=None,           # per-sensor PixelModels slice (a,b,p,q,r)
+    bf_sums=None,               # precomputed (depth_bf, w, w_range) sums
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Bilateral depth filter + bbox cull + LAB conversion, pre_depth.fs.
+
+    ``bf_sums`` injects the 13x13 window sums from an external provider
+    (the Pallas TPU kernels in ops/stencil_pallas.py); None computes them
+    with the jnp reference fold.
 
     Returns (depth2 (H, W, 2): [normalized filtered depth, range confidence],
              lab (H, W, 3)).
@@ -175,32 +180,35 @@ def bilateral_lab(
         depth2 = jnp.where(in_box[..., None], depth2, 0.0)
         return depth2, lab
 
-    # 13x13 bilateral (pre_depth.fs:85-127), folded via lax.scan
+    # 13x13 bilateral (pre_depth.fs:85-127)
     ks = 6
-    pad = jnp.pad(depth_m, ks, mode="edge")
-    dist_range_max = 0.35 * depth_m / _MAX_DEPTH  # :89-91
     num_samples = float((2 * ks + 1) ** 2)
+    if bf_sums is not None:
+        depth_bf, w, w_range = bf_sums
+    else:
+        pad = jnp.pad(depth_m, ks, mode="edge")
+        dist_range_max = 0.35 * depth_m / _MAX_DEPTH  # :89-91
 
-    def bf_body(acc, s, dy, dx):
-        depth_bf, w, w_range = acc
-        depth_range = jnp.abs(s - depth_m)
-        outside = (s < near) | (s > far)
-        border = outside | (depth_range > dist_range_max)
-        gauss_space = 1.0 - jnp.sqrt(dx * dx + dy * dy) / ks  # :38-41
-        gauss_range = 1.0 - jnp.minimum(depth_range, dist_range_max) / jnp.maximum(
-            dist_range_max, 1e-20
-        )  # :45-48
-        w_s = jnp.where(border, 0.0, gauss_space * gauss_range)
-        return (
-            depth_bf + w_s * s,
-            w + w_s,
-            w_range + jnp.where(border, 0.0, gauss_range),
+        def bf_body(acc, s, dy, dx):
+            depth_bf, w, w_range = acc
+            depth_range = jnp.abs(s - depth_m)
+            outside = (s < near) | (s > far)
+            border = outside | (depth_range > dist_range_max)
+            gauss_space = 1.0 - jnp.sqrt(dx * dx + dy * dy) / ks  # :38-41
+            gauss_range = 1.0 - jnp.minimum(depth_range, dist_range_max) / jnp.maximum(
+                dist_range_max, 1e-20
+            )  # :45-48
+            w_s = jnp.where(border, 0.0, gauss_space * gauss_range)
+            return (
+                depth_bf + w_s * s,
+                w + w_s,
+                w_range + jnp.where(border, 0.0, gauss_range),
+            )
+
+        zero = jnp.zeros_like(depth_m)
+        depth_bf, w, w_range = _stencil_scan(
+            pad, ks, H, W, bf_body, (zero, zero, zero)
         )
-
-    zero = jnp.zeros_like(depth_m)
-    depth_bf, w, w_range = _stencil_scan(
-        pad, ks, H, W, bf_body, (zero, zero, zero)
-    )
 
     filtered = depth_bf / jnp.maximum(w, 1e-20)
     depth2 = jnp.stack([norm_d(filtered), w_range / num_samples], axis=-1)
@@ -317,36 +325,41 @@ def quality(
     cv_xyz: jnp.ndarray,
     camera_position: jnp.ndarray,
     pixel_model=None,
+    q_sums=None,                # precomputed (border, w_range) census sums
 ) -> jnp.ndarray:
     """Per-pixel fusion weight, pre_quality.fs:65-119.
 
     quality = (1 - border_frac)^6 * (mean range weight)^6 / (depth * 6.5)
               * cos(view angle)^2
-    computed over a 13x13 window on *normalized* depth.
+    computed over a 13x13 window on *normalized* depth. ``q_sums`` injects
+    the window sums from the Pallas TPU kernel (ops/stencil_pallas.py).
     """
     H, W = depth2.shape[:2]
     d = depth2[..., 0]
     inside = (d > 0.0) & (d < 1.0)
 
     ks = 6
-    pad = jnp.pad(d, ks, mode="edge")
-    dist_range_max = 0.35 * d  # :71-75 (max_depth = 1.0 here)
     num_samples = float((2 * ks + 1) ** 2)
+    if q_sums is not None:
+        border, w_range = q_sums
+    else:
+        pad = jnp.pad(d, ks, mode="edge")
+        dist_range_max = 0.35 * d  # :71-75 (max_depth = 1.0 here)
 
-    def q_body(acc, s, dy, dx):
-        border, w_range = acc
-        depth_range = jnp.abs(s - d)
-        is_border = (s <= 0.0) | (s >= 1.0) | (depth_range > dist_range_max)
-        gauss_range = 1.0 - jnp.minimum(depth_range, dist_range_max) / jnp.maximum(
-            dist_range_max, 1e-20
-        )
-        return (
-            border + is_border.astype(d.dtype),
-            w_range + jnp.where(is_border, 0.0, gauss_range),
-        )
+        def q_body(acc, s, dy, dx):
+            border, w_range = acc
+            depth_range = jnp.abs(s - d)
+            is_border = (s <= 0.0) | (s >= 1.0) | (depth_range > dist_range_max)
+            gauss_range = 1.0 - jnp.minimum(depth_range, dist_range_max) / jnp.maximum(
+                dist_range_max, 1e-20
+            )
+            return (
+                border + is_border.astype(d.dtype),
+                w_range + jnp.where(is_border, 0.0, gauss_range),
+            )
 
-    zero = jnp.zeros_like(d)
-    border, w_range = _stencil_scan(pad, ks, H, W, q_body, (zero, zero))
+        zero = jnp.zeros_like(d)
+        border, w_range = _stencil_scan(pad, ks, H, W, q_body, (zero, zero))
 
     lateral_quality = 1.0 - border / num_samples
     q = lateral_quality**6 * (w_range / num_samples) ** 6
@@ -408,26 +421,68 @@ def preprocess_frames(
     bilateral: bool = True,
     refine: bool = True,
     pixel_models=None,  # calib.sensors.PixelModels (stacked over sensors)
+    use_pallas: bool = None,
 ) -> SensorMaps:
-    """vmapped multi-sensor preprocessing — one fused XLA program for the
-    whole chain over all sensors."""
-    fn = functools.partial(
-        preprocess_sensor, morph=morph, bilateral=bilateral, refine=refine
-    )
+    """Staged multi-sensor preprocessing — one fused XLA program for the
+    whole chain over all sensors.
+
+    The two 13x13 window reductions (bilateral, quality census) are computed
+    at the batch level by the Pallas TPU kernels (ops/stencil_pallas.py)
+    when the backend supports them (``use_pallas=None`` auto-detects; False
+    forces the jnp reference fold, True forces the kernels — the parity
+    tests run them in interpret mode off-TPU). Every other pass is vmapped
+    jnp; numerics are tap-for-tap identical either way.
+    """
+    from . import stencil_pallas
+
+    if use_pallas is None:
+        use_pallas = stencil_pallas.have_pallas_tpu()
+
     if pixel_models is not None:
         pm = (pixel_models.ray_a, pixel_models.ray_b, pixel_models.uv_p,
               pixel_models.uv_q, pixel_models.uv_r)
-        depth2, lab, sil, nrm, qual, d_m = jax.vmap(
-            lambda d, c, cx, cu, dl, cp, pm_: fn(
-                d, c, cx, cu, bbox_min, bbox_max, dl, cp, pixel_model=pm_
-            ),
-            in_axes=(0, 0, 0, 0, 0, 0, 0),
-        )(depths, colors, cv_xyz, cv_uv, depth_limits, camera_positions, pm)
+        pm_axes = 0
     else:
-        depth2, lab, sil, nrm, qual, d_m = jax.vmap(
-            fn, in_axes=(0, 0, 0, 0, None, None, 0, 0)
-        )(depths, colors, cv_xyz, cv_uv, bbox_min, bbox_max, depth_limits,
-          camera_positions)
+        pm = None
+        pm_axes = None
+
+    d_m = jax.vmap(morph_dilate)(depths) if morph else depths
+
+    # off-TPU, an explicit use_pallas=True runs the kernels in interpret
+    # mode — how the parity tests exercise them on the CPU backend
+    interp = use_pallas and not stencil_pallas.have_pallas_tpu()
+
+    bf_sums = None
+    if use_pallas and bilateral:
+        bf_sums = stencil_pallas.bilateral13_tpu(
+            d_m, depth_limits, interpret=interp
+        )
+
+    def front(d, c, cx, cu, dl, pm_, sums):
+        depth2, lab = bilateral_lab(
+            d, c, cx, cu, bbox_min, bbox_max, dl, bilateral,
+            pixel_model=pm_, bf_sums=sums,
+        )
+        depth2, sil = boundary(depth2, lab, refine)
+        nrm = normals(depth2, cx, pixel_model=pm_)
+        return depth2, lab, sil, nrm
+
+    depth2, lab, sil, nrm = jax.vmap(
+        front,
+        in_axes=(0, 0, 0, 0, 0, pm_axes, None if bf_sums is None else 0),
+    )(d_m, colors, cv_xyz, cv_uv, depth_limits, pm, bf_sums)
+
+    q_sums = None
+    if use_pallas:
+        q_sums = stencil_pallas.quality13_tpu(
+            depth2[..., 0], interpret=interp
+        )
+
+    qual = jax.vmap(
+        quality,
+        in_axes=(0, 0, 0, 0, pm_axes, None if q_sums is None else 0),
+    )(depth2, nrm, cv_xyz, camera_positions, pm, q_sums)
+
     return SensorMaps(
         depth=depth2, lab=lab, silhouette=sil, normal=nrm, quality=qual,
         raw_depth=d_m, color=colors,

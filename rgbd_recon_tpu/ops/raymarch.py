@@ -101,6 +101,77 @@ def _nearest_sample(vol_flat: jnp.ndarray, shape, pos: jnp.ndarray):
     return vol_flat[(zi * H + yi) * W + xi]
 
 
+@dataclasses.dataclass(frozen=True)
+class PackedVolume:
+    """TSDF volume packed as overlapping x-pair rows for fast sampling.
+
+    Row (z, y, x) holds (v[z,y,x], v[z,y,min(x+1,X-1)]), so a nearest sample
+    is ONE 2-wide row gather and a trilinear sample is FOUR (one per (z,y)
+    corner pair) instead of eight scalar gathers. Measured on the TPU chip,
+    2-wide-row gathers run ~1.4-2.6x faster per row than scalar gathers
+    (scripts/probe_gather_rates.py), so this halves-to-quarters the cost of
+    every volume lookup in the march. Built once per frame (two reads + one
+    write of the volume, bandwidth-bound)."""
+
+    pairs: jnp.ndarray  # (Z*Y*X, 2)
+    shape: Tuple[int, int, int]
+
+    @classmethod
+    def from_volume(cls, volume: jnp.ndarray) -> "PackedVolume":
+        nxt = jnp.concatenate([volume[:, :, 1:], volume[:, :, -1:]], axis=2)
+        pairs = jnp.stack([volume, nxt], axis=-1).reshape(-1, 2)
+        return cls(pairs=pairs, shape=tuple(volume.shape))
+
+    def sample_nearest(self, pos: jnp.ndarray) -> jnp.ndarray:
+        """GL NEAREST semantics sample at normalized pos (..., 3)."""
+        D, H, W = self.shape
+        xi = jnp.clip((pos[..., 0] * W).astype(jnp.int32), 0, W - 1)
+        yi = jnp.clip((pos[..., 1] * H).astype(jnp.int32), 0, H - 1)
+        zi = jnp.clip((pos[..., 2] * D).astype(jnp.int32), 0, D - 1)
+        rows = self.pairs[(zi * H + yi) * W + xi]
+        return rows[..., 0]
+
+    def sample_trilinear(self, pos: jnp.ndarray) -> jnp.ndarray:
+        """GL LINEAR semantics sample (identical taps/weights to
+        sampling.trilinear_3d) in 4 pair-row gathers."""
+        D, H, W = self.shape
+        cx = pos[..., 0] * W - 0.5
+        cy = pos[..., 1] * H - 0.5
+        cz = pos[..., 2] * D - 0.5
+        x0f, y0f, z0f = jnp.floor(cx), jnp.floor(cy), jnp.floor(cz)
+        # left-edge clamp: both x taps resolve to texel 0 -> fx = 0
+        fx = jnp.where(x0f < 0.0, 0.0, cx - x0f)
+        fy = cy - y0f
+        fz = cz - z0f
+        x0 = jnp.clip(x0f.astype(jnp.int32), 0, W - 1)
+        y0 = jnp.clip(y0f.astype(jnp.int32), 0, H - 1)
+        y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, H - 1)
+        z0 = jnp.clip(z0f.astype(jnp.int32), 0, D - 1)
+        z1 = jnp.clip(z0f.astype(jnp.int32) + 1, 0, D - 1)
+
+        def pair(z, y):
+            r = self.pairs[(z * H + y) * W + x0]
+            return r[..., 0] * (1.0 - fx) + r[..., 1] * fx
+
+        c00 = pair(z0, y0)
+        c01 = pair(z0, y1)
+        c10 = pair(z1, y0)
+        c11 = pair(z1, y1)
+        c0 = c00 * (1.0 - fy) + c01 * fy
+        c1 = c10 * (1.0 - fy) + c11 * fy
+        return c0 * (1.0 - fz) + c1 * fz
+
+    def sample(self, pos: jnp.ndarray, mode: str) -> jnp.ndarray:
+        if mode == "nearest":
+            return self.sample_nearest(pos)
+        return self.sample_trilinear(pos)
+
+
+jax.tree_util.register_dataclass(
+    PackedVolume, data_fields=["pairs"], meta_fields=["shape"]
+)
+
+
 def march(
     volume: jnp.ndarray,         # (Z, Y, X) TSDF
     cam_pos_vol: jnp.ndarray,    # (3,) camera in volume-normalized coords
@@ -111,6 +182,7 @@ def march(
     mode: str = "trilinear",
     prev0: Optional[jnp.ndarray] = None,
     return_prev: bool = False,
+    refine_nearest: bool = True,
 ):
     """Core marching loop (tsdf_raymarch.fs:62-114).
 
@@ -127,8 +199,11 @@ def march(
 
     Returns (hit (...) bool, hit_pos (..., 3), num_samples (...) int32).
     """
-    vol4 = volume[..., None]
-    vol_flat = volume.reshape(-1)
+    packed = (
+        volume
+        if isinstance(volume, PackedVolume)
+        else PackedVolume.from_volume(volume)
+    )
     nearest = mode == "nearest"
     sample_distance = limit * 0.5
     dn = ray_dirs_vol / jnp.linalg.norm(ray_dirs_vol, axis=-1, keepdims=True)
@@ -173,10 +248,7 @@ def march(
         k, hit, prev, hit_pos, num = carry
         active = (~hit) & (k < max_num)
         pos = pos0 + step_vec * k.astype(jnp.float32)
-        if nearest:
-            density = _nearest_sample(vol_flat, volume.shape, pos)
-        else:
-            density = trilinear_3d(vol4, pos)[..., 0]
+        density = packed.sample(pos, mode)
         found = active & (density > 0.0)
         denom = density - prev
         refined = (pos - step_vec) - step_vec * (
@@ -189,42 +261,55 @@ def march(
 
     (_, hit, prev_out, hit_pos, num) = jax.lax.while_loop(cond, body, init)
 
-    if nearest:
-        # trilinear re-refinement at the crossing bracket: reproduce the
-        # reference's secant on trilinear samples (:98-101) for hit rays
-        p1 = pos0 + step_vec * (num[..., None].astype(jnp.float32) - 1.0)
-        v1 = trilinear_3d(vol4, p1)[..., 0]
-        v0 = trilinear_3d(vol4, p1 - step_vec)[..., 0]
-        denom = v1 - v0
-        ok = hit & (v1 > 0.0) & (v0 <= 0.0)
-        refined = (p1 - step_vec) - step_vec * (
-            v0 / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
-        )[..., None]
-        hit_pos = jnp.where(ok[..., None], refined, hit_pos)
+    if nearest and refine_nearest:
+        hit_pos = refine_crossing(packed, pos0, step_vec, num, hit, hit_pos)
 
     if return_prev:
         return hit, hit_pos, num, prev_out
     return hit, hit_pos, num
 
 
-def gradient_normal(volume: jnp.ndarray, pos: jnp.ndarray, limit: float,
+def refine_crossing(
+    packed: "PackedVolume",
+    pos0: jnp.ndarray,
+    step_vec: jnp.ndarray,
+    num: jnp.ndarray,
+    hit: jnp.ndarray,
+    hit_pos: jnp.ndarray,
+) -> jnp.ndarray:
+    """Trilinear secant re-refinement at the nearest-march crossing bracket:
+    reproduces the reference's secant on trilinear samples
+    (tsdf_raymarch.fs:98-101) for hit rays. Separated out so callers that
+    compact hits first (the pipeline) pay it only on the hit set."""
+    p1 = pos0 + step_vec * (num[..., None].astype(jnp.float32) - 1.0)
+    v1 = packed.sample_trilinear(p1)
+    v0 = packed.sample_trilinear(p1 - step_vec)
+    denom = v1 - v0
+    ok = hit & (v1 > 0.0) & (v0 <= 0.0)
+    refined = (p1 - step_vec) - step_vec * (
+        v0 / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+    )[..., None]
+    return jnp.where(ok[..., None], refined, hit_pos)
+
+
+def gradient_normal(volume, pos: jnp.ndarray, limit: float,
                     mode: str = "trilinear") -> jnp.ndarray:
     """Central-difference TSDF gradient, negated and normalized
     (get_gradient, tsdf_raymarch.fs:148-157). In volume-normalized space.
-    mode="nearest" uses nearest-voxel samples (6 vs 48 gather rows/pos)."""
-    vol4 = volume[..., None]
-    vol_flat = volume.reshape(-1)
+    mode="nearest" uses nearest-voxel samples (6 vs 24 pair-row gathers per
+    position). Accepts a raw (Z, Y, X) volume or a PackedVolume."""
+    packed = (
+        volume
+        if isinstance(volume, PackedVolume)
+        else PackedVolume.from_volume(volume)
+    )
     sd = limit * 0.5
     ex = jnp.array([sd, 0, 0], jnp.float32)
     ey = jnp.array([0, sd, 0], jnp.float32)
     ez = jnp.array([0, 0, sd], jnp.float32)
 
-    if mode == "nearest":
-        def s(p):
-            return _nearest_sample(vol_flat, volume.shape, p)
-    else:
-        def s(p):
-            return trilinear_3d(vol4, p)[..., 0]
+    def s(p):
+        return packed.sample(p, mode)
 
     g = jnp.stack(
         [
@@ -235,6 +320,64 @@ def gradient_normal(volume: jnp.ndarray, pos: jnp.ndarray, limit: float,
         axis=-1,
     )
     return -g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-20)
+
+
+def _pack_pairs_2d(arrs) -> jnp.ndarray:
+    """Stack per-sensor channel maps into x-pair-packed rows: row (i, y, x)
+    holds the channels at x AND at x+1 (edge-clamped), so one row gather
+    fetches both x-taps of a bilinear corner pair — 2 gathers per sample
+    instead of 4 (gather cost on TPU is per ROW, near-independent of row
+    width up to ~8 f32; scripts/probe_gather_rates.py)."""
+    base = jnp.stack(arrs, axis=-1) if isinstance(arrs, (list, tuple)) else arrs
+    N, H, W = base.shape[:3]
+    nxt = jnp.concatenate([base[:, :, 1:], base[:, :, -1:]], axis=2)
+    return jnp.concatenate([base, nxt], axis=-1).reshape(
+        N * H * W, 2 * base.shape[-1]
+    )
+
+
+def _pair_bilinear(table, base, Ht, Wt, uv):
+    """Bilinear sample from an x-pair-packed (rows, 2C) table: 2 row gathers
+    (y0, y1) instead of 4 corner gathers; exact GL semantics."""
+    cx = uv[..., 0] * Wt - 0.5
+    cy = uv[..., 1] * Ht - 0.5
+    x0f, y0f = jnp.floor(cx), jnp.floor(cy)
+    fx = jnp.where(x0f < 0.0, 0.0, cx - x0f)[..., None]
+    fy = (cy - y0f)[..., None]
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, Wt - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, Ht - 1)
+    y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, Ht - 1)
+    r0 = table[base + y0 * Wt + x0]
+    r1 = table[base + y1 * Wt + x0]
+    half = table.shape[-1] // 2
+    c0 = r0[..., :half] * (1 - fx) + r0[..., half:] * fx
+    c1 = r1[..., :half] * (1 - fx) + r1[..., half:] * fx
+    return c0 * (1 - fy) + c1 * fy
+
+
+def _blend_accumulate(i, col, depth, qual, z, in_frustum, limit, acc):
+    """One sensor's contribution to the blend fold — the exact weight
+    formula of blendColors (tsdf_raymarch.fs:303-338)."""
+    total_c, total_w, total_c2, total_w2 = acc
+    dist = jnp.abs(depth - z)
+    qual = jnp.where((dist < limit) & in_frustum, qual, 0.0)
+    w = qual / (dist + 0.01)
+    total_c = total_c + col * w[..., None]
+    total_w = total_w + w
+    w2 = jnp.where(in_frustum, 1.0 / jnp.maximum(dist, 1e-20), 0.0)
+    total_c2 = total_c2 + col * w2[..., None]
+    total_w2 = total_w2 + w2
+    return total_c, total_w, total_c2, total_w2
+
+
+def _blend_finalize(acc):
+    total_c, total_w, total_c2, total_w2 = acc
+    use_primary = total_w > 0.0
+    primary = total_c / jnp.maximum(total_w, 1e-20)[..., None]
+    fallback = total_c2 / jnp.maximum(total_w2, 1e-20)[..., None]
+    rgb = jnp.where(use_primary[..., None], primary, fallback)
+    alpha = jnp.where(use_primary, 1.0, -1.0)
+    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
 
 
 def blend_colors_fast(
@@ -256,41 +399,16 @@ def blend_colors_fast(
     H, W = depths.shape[1:3]
     Hc, Wc = colors.shape[1:3]
 
-    total_c = jnp.zeros(sample_pos.shape[:-1] + (3,), jnp.float32)
-    total_w = jnp.zeros(sample_pos.shape[:-1], jnp.float32)
-    total_c2 = jnp.zeros_like(total_c)
-    total_w2 = jnp.zeros_like(total_w)
-
-    # x-pair-packed rows (see ops/tsdf.py integrate_bricks): two x-taps per
-    # gather, so a bilinear needs 2 row gathers instead of 4
-    dq4 = jnp.stack([depths, qualities], axis=-1)
-    dq4 = jnp.concatenate(
-        [dq4, jnp.concatenate([dq4[:, :, 1:], dq4[:, :, -1:]], axis=2)],
-        axis=-1,
-    ).reshape(N * H * W, 4)
-    col8 = jnp.concatenate(
-        [colors, jnp.zeros_like(colors[..., :1])], axis=-1
+    acc = (
+        jnp.zeros(sample_pos.shape[:-1] + (3,), jnp.float32),
+        jnp.zeros(sample_pos.shape[:-1], jnp.float32),
+        jnp.zeros(sample_pos.shape[:-1] + (3,), jnp.float32),
+        jnp.zeros(sample_pos.shape[:-1], jnp.float32),
     )
-    col8 = jnp.concatenate(
-        [col8, jnp.concatenate([col8[:, :, 1:], col8[:, :, -1:]], axis=2)],
-        axis=-1,
-    ).reshape(N * Hc * Wc, 8)
-
-    def pair_bilinear(table, base, Ht, Wt, uv):
-        cx = uv[..., 0] * Wt - 0.5
-        cy = uv[..., 1] * Ht - 0.5
-        x0f, y0f = jnp.floor(cx), jnp.floor(cy)
-        fx = jnp.where(x0f < 0.0, 0.0, cx - x0f)[..., None]
-        fy = (cy - y0f)[..., None]
-        x0 = jnp.clip(x0f.astype(jnp.int32), 0, Wt - 1)
-        y0 = jnp.clip(y0f.astype(jnp.int32), 0, Ht - 1)
-        y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, Ht - 1)
-        r0 = table[base + y0 * Wt + x0]
-        r1 = table[base + y1 * Wt + x0]
-        half = table.shape[-1] // 2
-        c0 = r0[..., :half] * (1 - fx) + r0[..., half:] * fx
-        c1 = r1[..., :half] * (1 - fx) + r1[..., half:] * fx
-        return c0 * (1 - fy) + c1 * fy
+    dq4 = _pack_pairs_2d([depths, qualities])
+    col8 = _pack_pairs_2d(
+        jnp.concatenate([colors, jnp.zeros_like(colors[..., :1])], axis=-1)
+    )
 
     def nearest_rows(vol, pos):
         D_, H_, W_, C_ = vol.shape
@@ -304,27 +422,58 @@ def blend_colors_fast(
         pos_calib = lookup[..., :3]
         in_frustum = lookup[..., 3] > 0.99
         pos_color = nearest_rows(cv_uv[i], pos_calib)[..., :2]
-        col = pair_bilinear(col8, i * Hc * Wc, Hc, Wc, pos_color)[..., :3]
+        col = _pair_bilinear(col8, i * Hc * Wc, Hc, Wc, pos_color)[..., :3]
+        dqv = _pair_bilinear(dq4, i * H * W, H, W, pos_calib[..., :2])
+        acc = _blend_accumulate(
+            i, col, dqv[..., 0], dqv[..., 1], pos_calib[..., 2], in_frustum,
+            limit, acc,
+        )
 
-        dqv = pair_bilinear(dq4, i * H * W, H, W, pos_calib[..., :2])
-        depth, qual = dqv[..., 0], dqv[..., 1]
+    return _blend_finalize(acc)
 
-        dist = jnp.abs(depth - pos_calib[..., 2])
-        qual = jnp.where((dist < limit) & in_frustum, qual, 0.0)
 
-        w = qual / (dist + 0.01)
-        total_c = total_c + col * w[..., None]
-        total_w = total_w + w
-        w2 = jnp.where(in_frustum, 1.0 / jnp.maximum(dist, 1e-20), 0.0)
-        total_c2 = total_c2 + col * w2[..., None]
-        total_w2 = total_w2 + w2
+def blend_colors_analytic(
+    world_pos: jnp.ndarray,      # (..., 3) WORLD-space hit positions
+    proj_models,                 # calib.sensors.ProjectionModels
+    colors: jnp.ndarray,         # (N, Hc, Wc, 3)
+    depths: jnp.ndarray,         # (N, H, W)
+    qualities: jnp.ndarray,      # (N, H, W)
+    limit: float,
+):
+    """Fastest blend variant: the cv_xyz_inv and cv_uv lookups are replaced
+    by the analytic per-sensor projection models (pure elementwise math,
+    zero gather rows), leaving only the sensor-map bilinear fetches (2
+    pair-packed rows each). Exact for pinhole calibrations — the analytic
+    projection is in fact *more* accurate than the k-NN/IDW-baked inverse
+    volume it replaces; non-pinhole rigs fall back to blend_colors_fast via
+    the fit-residual gate (PipelineConfig.projection_model)."""
+    N = colors.shape[0]
+    H, W = depths.shape[1:3]
+    Hc, Wc = colors.shape[1:3]
 
-    use_primary = total_w > 0.0
-    primary = total_c / jnp.maximum(total_w, 1e-20)[..., None]
-    fallback = total_c2 / jnp.maximum(total_w2, 1e-20)[..., None]
-    rgb = jnp.where(use_primary[..., None], primary, fallback)
-    alpha = jnp.where(use_primary, 1.0, -1.0)
-    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+    acc = (
+        jnp.zeros(world_pos.shape[:-1] + (3,), jnp.float32),
+        jnp.zeros(world_pos.shape[:-1], jnp.float32),
+        jnp.zeros(world_pos.shape[:-1] + (3,), jnp.float32),
+        jnp.zeros(world_pos.shape[:-1], jnp.float32),
+    )
+    dq4 = _pack_pairs_2d([depths, qualities])
+    col8 = _pack_pairs_2d(
+        jnp.concatenate([colors, jnp.zeros_like(colors[..., :1])], axis=-1)
+    )
+
+    for i in range(N):
+        uvd = proj_models.uvd(i, world_pos)
+        in_frustum = jnp.all((uvd >= 0.0) & (uvd <= 1.0), axis=-1)
+        pos_color = proj_models.color_uv(i, world_pos)
+        col = _pair_bilinear(col8, i * Hc * Wc, Hc, Wc, pos_color)[..., :3]
+        dqv = _pair_bilinear(dq4, i * H * W, H, W, uvd[..., :2])
+        acc = _blend_accumulate(
+            i, col, dqv[..., 0], dqv[..., 1], uvd[..., 2], in_frustum,
+            limit, acc,
+        )
+
+    return _blend_finalize(acc)
 
 
 def blend_colors(

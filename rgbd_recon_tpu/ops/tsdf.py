@@ -251,11 +251,23 @@ def occupied_brick_ids(
 ) -> jnp.ndarray:
     """Flat ids of occupied bricks, fixed ``capacity`` entries; unused slots
     hold ``num_bricks`` (out of range -> dropped by the scatter). Bricks
-    beyond capacity are silently dropped (capacity defaults give ~3x the
-    reference's observed 3-5.5% occupancy headroom)."""
+    beyond capacity are dropped (capacity defaults give ~3x the reference's
+    observed 3-5.5% occupancy headroom) — check
+    :func:`occupied_brick_overflow` to observe drops."""
     occ = (counts > min_voxels).reshape(-1)
     (ids,) = jnp.nonzero(occ, size=capacity, fill_value=occ.shape[0])
     return ids
+
+
+def occupied_brick_overflow(
+    counts: jnp.ndarray, min_voxels: int, capacity: int
+) -> jnp.ndarray:
+    """int32 number of occupied bricks DROPPED by the fixed-capacity
+    compact integration this frame (0 = everything integrated). Cheap
+    device-side reduction; surfaced by TsdfPipeline.diagnostics and the app
+    loop so crowded scenes can't silently lose geometry."""
+    n_occ = jnp.sum((counts > min_voxels).astype(jnp.int32))
+    return jnp.maximum(n_occ - capacity, 0)
 
 
 def integrate_bricks(
@@ -281,15 +293,20 @@ def integrate_bricks(
     ids_c = jnp.minimum(ids, B - 1)
     proj = proj_bricks[:, ids_c]          # (N, K, V, 4) block gather
 
-    # x-pair-packed sensor maps: row (y, x) holds the 4 channels at x AND at
-    # x+1 (edge-clamped), so one 8-wide row gather fetches both x-taps of a
-    # bilinear corner pair — 2 gathers per sample instead of 4 (gather cost
-    # on TPU is per ROW, near-independent of row width up to ~8 f32)
+    # full 2x2-packed sensor maps: row (y, x) holds the 3 channels
+    # [depth, quality, silhouette] (+1 pad) at all four bilinear corners
+    # (x, y), (x+1, y), (x, y+1), (x+1, y+1), edge-clamped — so ONE 16-wide
+    # row gather fetches a complete bilinear footprint. Gather cost on TPU
+    # is per ROW and near-flat in row width (scripts/probe_gather_rates.py),
+    # so this halves the round-2 two-row pair scheme and is 4x cheaper than
+    # per-corner gathers.
     p4 = jnp.stack(
         [depths, qualities, silhouettes, jnp.zeros_like(depths)], axis=-1
     )  # (N, H, W, 4)
-    p_next = jnp.concatenate([p4[:, :, 1:], p4[:, :, -1:]], axis=2)
-    packed = jnp.concatenate([p4, p_next], axis=-1).reshape(N * H * W, 8)
+    px = jnp.concatenate([p4[:, :, 1:], p4[:, :, -1:]], axis=2)
+    row8 = jnp.concatenate([p4, px], axis=-1)          # x, x+1
+    row8_dn = jnp.concatenate([row8[:, 1:], row8[:, -1:]], axis=1)  # y+1
+    packed = jnp.concatenate([row8, row8_dn], axis=-1).reshape(N * H * W, 16)
 
     u = proj[..., 0]
     vv = proj[..., 1]
@@ -299,28 +316,22 @@ def integrate_bricks(
     cy = vv * H - 0.5
     x0f = jnp.floor(cx)
     y0f = jnp.floor(cy)
-    # GL clamp semantics at the left border (both taps -> texel 0): the pair
-    # row only carries (x, x+1), so express the clamp through fx = 0
-    fx = jnp.where(x0f < 0.0, 0.0, cx - x0f)
-    fy = cy - y0f
+    # GL clamp semantics at the borders (both taps -> the edge texel): the
+    # packed row only carries (x, x+1) x (y, y+1), so express the clamp
+    # through zero fractional weights
+    fx = jnp.where(x0f < 0.0, 0.0, cx - x0f)[..., None]
+    fy = jnp.where(y0f < 0.0, 0.0, cy - y0f)[..., None]
     x0 = jnp.clip(x0f.astype(jnp.int32), 0, W - 1)
     y0 = jnp.clip(y0f.astype(jnp.int32), 0, H - 1)
-    y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, H - 1)
 
     base = (
         jnp.arange(N, dtype=jnp.int32).reshape(N, 1, 1) * (H * W)
     )
 
-    def pair(yy):
-        return packed[base + yy * W + x0]   # (N, K, V, 8)
-
-    r0 = pair(y0)
-    r1 = pair(y1)
-    fxe = fx[..., None]
-    fye = fy[..., None]
-    c0 = r0[..., :4] * (1 - fxe) + r0[..., 4:] * fxe
-    c1 = r1[..., :4] * (1 - fxe) + r1[..., 4:] * fxe
-    vals = c0 * (1 - fye) + c1 * fye
+    rows = packed[base + y0 * W + x0]      # (N, K, V, 16)
+    c0 = rows[..., 0:4] * (1 - fx) + rows[..., 4:8] * fx
+    c1 = rows[..., 8:12] * (1 - fx) + rows[..., 12:16] * fx
+    vals = c0 * (1 - fy) + c1 * fy
     # (N, K, V, 4): [depth, quality, silhouette]
 
     K = ids.shape[0]

@@ -43,6 +43,32 @@ class RenderOutput:
     depth: jnp.ndarray        # (H, W) window depth [0,1]
     hit: jnp.ndarray          # (H, W) bool surface mask
     num_samples: jnp.ndarray  # (H, W) raymarch step counts (stats image)
+    # (3,) int32 [active blocks beyond block capacity, phase-2 rays beyond
+    # continuation capacity, hits beyond hit-shading capacity] — nonzero
+    # means pixels were dropped this frame (the silent truncations flagged
+    # in round 2 made observable)
+    overflow: jnp.ndarray = None
+
+
+@struct.dataclass
+class CamParams:
+    """Render-camera pose as ARRAYS so camera motion (navigation, stereo
+    eyes, feedback channel) never retriggers compilation — the equivalent of
+    the reference's per-frame gluLookAt updates (kinect_client.cpp:612-673).
+    Projection parameters (fov/near/far) and the image size stay static."""
+
+    eye_w: jnp.ndarray    # (3,) world-space eye
+    rot: jnp.ndarray      # (3, 3) camera-to-world rotation (GL convention)
+    eye_vol: jnp.ndarray  # (3,) eye in volume-normalized coords
+
+    @classmethod
+    def from_camera(cls, camera: raymarch.ViewCamera, bbox: BoundingBox):
+        eye = np.asarray(camera.eye, np.float32)
+        return cls(
+            eye_w=jnp.asarray(eye),
+            rot=jnp.asarray(camera.rotation()),
+            eye_vol=jnp.asarray(bbox.normalize(eye)),
+        )
 
 
 class TsdfPipeline:
@@ -262,138 +288,92 @@ class TsdfPipeline:
         pm = self._get_pixel_models(frames.depths.shape[1:3])
         return self._fuse(self.calib, self.projections, pm, frames)
 
-    def make_render_fn(
-        self,
-        camera: raymarch.ViewCamera,
-        max_steps: Optional[int] = None,
-    ):
-        """Build the raw render function + its ray grid.
-
-        Returns ``(render, dirs_vol)`` where
-        ``render(volume, maps, brick_counts, calib, dirs_vol)`` is pure and
-        unjitted — the form the dist/ layer traces inside its own sharded
-        step (all large arrays are arguments, nothing big is captured).
-        """
+    def diagnostics(self, brick_counts: jnp.ndarray,
+                    render_out: "RenderOutput" = None) -> dict:
+        """Host-side overflow/occupancy report for one frame: occupied brick
+        count vs the compact-integration capacity, plus the render path's
+        block/hit capacity drops. Any nonzero ``*_dropped`` means geometry
+        or pixels were lost to a fixed capacity this frame — raise
+        ``brick_capacity`` / ``ray_compaction`` / ``hit_compaction``."""
         c = self.config
-        bbox_size = np.asarray(self.bbox.size, np.float32)
-        eye_vol = jnp.asarray(
-            self.bbox.normalize(np.asarray(camera.eye, np.float32))
+        n_occ = int(
+            np.asarray(
+                jnp.sum((brick_counts > c.min_voxels_per_brick).astype(jnp.int32))
+            )
         )
-        dirs_world = camera.ray_directions_world()
-        dirs_vol_host = jnp.asarray(dirs_world / bbox_size)
+        out = {
+            "occupied_bricks": n_occ,
+            "brick_capacity": c.brick_capacity,
+            "bricks_dropped": max(0, n_occ - c.brick_capacity)
+            if self.compact else 0,
+        }
+        if render_out is not None and render_out.overflow is not None:
+            ov = np.asarray(render_out.overflow)
+            out["blocks_dropped"] = int(ov[0])
+            out["phase2_rays_dropped"] = int(ov[1])
+            out["hits_dropped"] = int(ov[2])
+        return out
 
-        if max_steps is None:
-            # worst case: volume diagonal at limit/2 normalized steps
-            max_steps = int(np.ceil(np.sqrt(3.0) / (c.tsdf_limit * 0.5)))
-        num_lods = c.num_lods
+    # -- render --------------------------------------------------------------
 
-        rot = jnp.asarray(camera.rotation())
-        eye_w = jnp.asarray(np.asarray(camera.eye, np.float32))
-        bbox_sz = jnp.asarray(bbox_size)
+    def _get_projection_models(self):
+        """Analytic world->sensor models (calib.sensors.ProjectionModels),
+        fitted once; None when disabled or when the fit residual exceeds
+        ~2e-3 normalized units (≈ one sensor pixel) — non-pinhole rigs then
+        blend through the calibration volumes instead."""
+        if not self.config.projection_model:
+            return None
+        if not hasattr(self, "_projection_models"):
+            from ..calib.sensors import derive_projection_models
 
-        def render(volume, maps: SensorMaps, brick_counts, calib, dirs_vol):
-            bbox_min = calib.bbox_min
-            H, W = dirs_vol.shape[:2]
-            start_end = None
-            if c.skip_space and brick_counts is not None and c.bricking:
-                occ = brick_ops.occupied_mask(brick_counts, c.min_voxels_per_brick)
-                start_end = raymarch_brick_interval(
-                    occ, eye_vol, dirs_vol, self.brick_grid.res,
-                    downsample=c.interval_downsample,
-                )
-
-            # ray compaction: only pixels whose brick interval is nonempty
-            # march and shade (typically 20-40% of the screen); results
-            # scatter back into the full image before colorfill. Fixed
-            # capacity keeps shapes static for jit.
-            compact_rays = (
-                c.ray_compaction > 0.0 and start_end is not None
+            models, residual = derive_projection_models(
+                self.calib.cv_xyz, self.calib.cv_uv
             )
-            if compact_rays:
-                M = H * W
-                cap = -(-int(M * c.ray_compaction) // 128) * 128
-                pos0_f = start_end[0].reshape(M, 3)
-                len_f = start_end[1].reshape(M)
-                dirs_f = dirs_vol.reshape(M, 3)
-                (ray_idx,) = jnp.nonzero(len_f > 0.0, size=cap, fill_value=M)
-                safe = jnp.minimum(ray_idx, M - 1)
-                dirs_b = dirs_f[safe]
-                se_b = (pos0_f[safe],
-                        jnp.where(ray_idx < M, len_f[safe], 0.0))
-            else:
-                dirs_b = dirs_vol
-                se_b = start_end
+            if residual > 2e-3:
+                print(
+                    f"projection-model residual {residual:.2e} too large; "
+                    "blending through calibration volumes"
+                )
+                models = None
+            self._projection_models = models
+        return self._projection_models
 
-            two_phase = compact_rays and c.march_phase1_steps > 0
-            if two_phase:
-                # phase 1: every compacted ray marches a few steps (most
-                # surface hits land within ~20 steps of the brick-interval
-                # start); phase 2 re-compacts the few long-interval rays
-                # (grazing/limb) to 1/4 width so the while_loop's uniform
-                # iteration count stops taxing the whole wavefront
-                sd = c.tsdf_limit * 0.5
-                # the brick interval starts up to pad_t coarse half-brick
-                # steps before the hull (conservative padding, see
-                # raymarch_brick_interval); phase 1 must cover that lead-in
-                # plus the configured surface-search budget
-                step_len = 0.5 / max(self.brick_grid.res)
-                pad_t = 3.0 if c.interval_downsample > 1 else 2.0
-                p1 = c.march_phase1_steps + int(np.ceil(pad_t * step_len / sd))
-                hit, hit_pos, num, prev = raymarch.march(
-                    volume, eye_vol, dirs_b, c.tsdf_limit, p1, se_b,
-                    mode=c.march_mode, return_prev=True,
-                )
-                pos0_b, len_b = se_b
-                max_num = jnp.ceil(len_b / sd).astype(jnp.int32)
-                unfinished = (~hit) & (max_num > p1)
-                cap2 = max(cap // 4, 128)
-                C1 = dirs_b.shape[0]
-                (idx2,) = jnp.nonzero(unfinished, size=cap2, fill_value=C1)
-                safe2 = jnp.minimum(idx2, C1 - 1)
-                dn_b = dirs_b / jnp.linalg.norm(
-                    dirs_b, axis=-1, keepdims=True
-                )
-                pos2 = (pos0_b + dn_b * (sd * p1))[safe2]
-                len2 = jnp.where(
-                    idx2 < C1, jnp.maximum(len_b[safe2] - sd * p1, 0.0), 0.0
-                )
-                hit2, hit_pos2, num2 = raymarch.march(
-                    volume, eye_vol, dirs_b[safe2], c.tsdf_limit,
-                    max_steps - p1, (pos2, len2), mode=c.march_mode,
-                    prev0=prev[safe2],
-                )
-                hit = hit.at[idx2].set(hit2, mode="drop")
-                hit_pos = hit_pos.at[idx2].set(hit_pos2, mode="drop")
-                num = num.at[idx2].add(num2, mode="drop")
-            else:
-                hit, hit_pos, num = raymarch.march(
-                    volume, eye_vol, dirs_b, c.tsdf_limit, max_steps, se_b,
-                    mode=c.march_mode,
-                )
+    def _shade_hits(self, packed, hit, hit_pos, maps, calib, proj_models,
+                    cam: CamParams, near: float, far: float):
+        """Normal + color + shading at hit positions (any batch shape).
+        Returns (rgba, depth_win). The submitFragment half of the raymarch
+        shader (tsdf_raymarch.fs:116-142)."""
+        c = self.config
+        bbox_sz = jnp.asarray(np.asarray(self.bbox.size, np.float32))
 
-            # normals: volume-space gradient -> world via inverse-transpose
-            # of the (diagonal) vol_to_world scale (recon_integration.cpp:200)
-            grad = raymarch.gradient_normal(
-                volume, hit_pos, c.tsdf_limit, mode=c.march_mode
+        grad = raymarch.gradient_normal(
+            packed, hit_pos, c.tsdf_limit, mode=c.march_mode
+        )
+        # volume-space gradient -> world via inverse-transpose of the
+        # (diagonal) vol_to_world scale (recon_integration.cpp:200)
+        n_world = grad / bbox_sz
+        n_world = n_world / jnp.maximum(
+            jnp.linalg.norm(n_world, axis=-1, keepdims=True), 1e-20
+        )
+
+        world_pos = hit_pos * bbox_sz + calib.bbox_min
+        view_pos = (world_pos - cam.eye_w) @ cam.rot
+        view_normal = n_world @ cam.rot
+
+        if c.shade_mode == 3:
+            rgb = raymarch.blend_cameras(
+                hit_pos, calib.cv_xyz_inv, maps.depth[..., 0], maps.quality,
+                c.tsdf_limit,
             )
-            n_world = grad / bbox_sz
-            n_world = n_world / jnp.maximum(
-                jnp.linalg.norm(n_world, axis=-1, keepdims=True), 1e-20
+            rgba = jnp.concatenate(
+                [rgb, jnp.ones_like(rgb[..., :1])], axis=-1
             )
-
-            world_pos = hit_pos * bbox_sz + bbox_min
-            view_pos = (world_pos - eye_w) @ rot
-            view_normal = n_world @ rot
-
-            if c.shade_mode == 3:
-                rgb = raymarch.blend_cameras(
-                    hit_pos,
-                    calib.cv_xyz_inv,
-                    maps.depth[..., 0],
-                    maps.quality,
-                    c.tsdf_limit,
+        else:
+            if proj_models is not None:
+                rgba = raymarch.blend_colors_analytic(
+                    world_pos, proj_models, maps.color, maps.depth[..., 0],
+                    maps.quality, c.tsdf_limit,
                 )
-                rgba = jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], axis=-1)
             else:
                 blend = (
                     raymarch.blend_colors_fast
@@ -401,69 +381,376 @@ class TsdfPipeline:
                     else raymarch.blend_colors
                 )
                 rgba = blend(
-                    hit_pos,
-                    calib.cv_xyz_inv,
-                    calib.cv_uv,
-                    maps.color,
-                    maps.depth[..., 0],
-                    maps.quality,
-                    c.tsdf_limit,
+                    hit_pos, calib.cv_xyz_inv, calib.cv_uv, maps.color,
+                    maps.depth[..., 0], maps.quality, c.tsdf_limit,
                 )
-                shaded = raymarch.shade(
-                    view_pos,
-                    view_normal,
-                    rgba[..., :3],
-                    shade_mode=c.shade_mode,
-                    world_normal=n_world,
-                )
-                rgba = jnp.concatenate([shaded, rgba[..., 3:]], axis=-1)
+            shaded = raymarch.shade(
+                view_pos, view_normal, rgba[..., :3],
+                shade_mode=c.shade_mode, world_normal=n_world,
+            )
+            rgba = jnp.concatenate([shaded, rgba[..., 3:]], axis=-1)
 
-            depth_win = camera.window_depth(-view_pos[..., 2])
-            depth_win = jnp.where(hit, depth_win, 1.0)
-            rgba = jnp.where(hit[..., None], rgba, 0.0)
+        view_z = jnp.maximum(-view_pos[..., 2], near * 1.001)
+        depth_win = jnp.clip(
+            (1.0 / near - 1.0 / view_z) / (1.0 / near - 1.0 / far),
+            0.0, 1.0,
+        )
+        depth_win = jnp.where(hit, depth_win, 1.0)
+        rgba = jnp.where(hit[..., None], rgba, 0.0)
+        return rgba, depth_win
 
-            if compact_rays:
-                # scatter compacted results back to the full image
-                rgba = (
-                    jnp.zeros((M, 4), jnp.float32)
-                    .at[ray_idx].set(rgba, mode="drop")
-                    .reshape(H, W, 4)
-                )
-                depth_win = (
-                    jnp.ones((M,), jnp.float32)
-                    .at[ray_idx].set(depth_win, mode="drop")
-                    .reshape(H, W)
-                )
-                hit = (
-                    jnp.zeros((M,), bool)
-                    .at[ray_idx].set(hit, mode="drop")
-                    .reshape(H, W)
-                )
-                num = (
-                    jnp.zeros((M,), jnp.int32)
-                    .at[ray_idx].set(num, mode="drop")
-                    .reshape(H, W)
+    def _surface_brick_mask(self, volume):
+        """(Bz, By, Bx) bool: bricks whose 1-voxel-dilated neighborhood
+        contains a positive TSDF voxel — exactly the bricks where a march
+        sample (nearest or trilinear) can read a positive density, i.e.
+        where ray-surface crossings can occur. Much tighter than the marked
+        occupancy mask (which includes silhouette-carve-only bricks that
+        rays previously marched through end to end finding nothing)."""
+        v = self.brick_vox
+        (Bz, By, Bx), padded = tsdf.brick_layout(self.volume_grid.shape, v)
+        pos = volume > 0.0
+        # 1-voxel dilation per axis: trilinear interpolation reaches at most
+        # one voxel beyond a positive sample
+        for ax in (0, 1, 2):
+            up_ = jnp.roll(pos, 1, axis=ax)
+            dn_ = jnp.roll(pos, -1, axis=ax)
+            pos = pos | up_ | dn_
+        Z, Y, X = volume.shape
+        pos = jnp.pad(
+            pos,
+            [(0, padded[0] - Z), (0, padded[1] - Y), (0, padded[2] - X)],
+        )
+        return (
+            pos.reshape(Bz, v, By, v, Bx, v).any(axis=(1, 3, 5))
+        )
+
+    def make_render_fn(self, camera: raymarch.ViewCamera,
+                       max_steps: Optional[int] = None):
+        """Build the raw render function for ``camera``'s PROJECTION (image
+        size, fov, near/far — static); its POSE flows in per call as
+        :class:`CamParams` arrays.
+
+        Returns ``(render, cam0)`` where
+        ``render(volume, maps, brick_counts, calib, cam, proj_models)`` is
+        pure and unjitted — the form the dist/ layer traces inside its own
+        sharded step (all large arrays are arguments, nothing big is
+        captured) — and ``cam0`` is the CamParams of the given camera.
+        """
+        c = self.config
+        H, W = camera.height, camera.width
+        near, far = float(camera.near), float(camera.far)
+        tan_half = float(np.tan(np.radians(camera.fov_y) * 0.5))
+        aspect = W / H
+        bbox_size = np.asarray(self.bbox.size, np.float32)
+        vol_shape = self.volume_grid.shape
+        brick_vox = self.brick_vox
+
+        if max_steps is None:
+            # worst case: volume diagonal at limit/2 normalized steps
+            max_steps = int(np.ceil(np.sqrt(3.0) / (c.tsdf_limit * 0.5)))
+        sd = c.tsdf_limit * 0.5
+
+        ds = max(int(c.interval_downsample), 1)
+        Hp, Wp = -(-H // ds) * ds, -(-W // ds) * ds
+        Hb, Wb = Hp // ds, Wp // ds
+        B2 = ds * ds
+        NB = Hb * Wb
+        # degenerate-small images (fewer than 4 blocks per axis): one coarse
+        # ray per block undersamples thin geometry — march densely instead
+        use_blocks = (
+            c.skip_space and c.bricking and c.ray_compaction > 0.0
+            and Hb >= 4 and Wb >= 4
+        )
+
+        # coarse interval step: fraction of the smallest normalized brick
+        # edge (tighter than the half-brick step of round 2 — the shorter
+        # lead-in saves ~10 fine march steps per ray)
+        step_len = c.interval_step_frac * brick_vox / max(vol_shape)
+        n_coarse_max = int(np.ceil(np.sqrt(3.0) / step_len)) + 2
+
+        def ray_dirs(cam: CamParams, hh, ww):
+            """(hh, ww, 3) unit volume-space directions, from iota (camera
+            pose is data, not a compile-time constant)."""
+            xs = ((jnp.arange(ww, dtype=jnp.float32) + 0.5) / W * 2.0 - 1.0)
+            ys = 1.0 - (jnp.arange(hh, dtype=jnp.float32) + 0.5) / H * 2.0
+            xx, yy = jnp.meshgrid(xs * tan_half * aspect, ys * tan_half)
+            dirs_cam = jnp.stack([xx, yy, -jnp.ones_like(xx)], axis=-1)
+            dirs_world = dirs_cam @ cam.rot.T
+            dirs_vol = dirs_world / jnp.asarray(bbox_size)
+            return dirs_vol / jnp.linalg.norm(
+                dirs_vol, axis=-1, keepdims=True
+            )
+
+        def surface_aabb(occ):
+            """Normalized-coordinate AABB of the occupied bricks (dynamic,
+            on device) — bounds the coarse scan to the geometry instead of
+            the whole unit cube."""
+            Bz, By, Bx = occ.shape
+            Z, Y, X = vol_shape
+
+            def lohi(any_ax, n, vox_per, true_n):
+                idx = jnp.arange(n)
+                lo = jnp.min(jnp.where(any_ax, idx, n))
+                hi = jnp.max(jnp.where(any_ax, idx, -1))
+                return (
+                    lo.astype(jnp.float32) * vox_per / true_n,
+                    jnp.minimum((hi + 1).astype(jnp.float32) * vox_per / true_n, 1.0),
                 )
 
+            zlo, zhi = lohi(occ.any(axis=(1, 2)), Bz, brick_vox, Z)
+            ylo, yhi = lohi(occ.any(axis=(0, 2)), By, brick_vox, Y)
+            xlo, xhi = lohi(occ.any(axis=(0, 1)), Bx, brick_vox, X)
+            return (jnp.stack([xlo, ylo, zlo]), jnp.stack([xhi, yhi, zhi]))
+
+        def coarse_intervals(occ, cam: CamParams, dirs_c):
+            """Per-coarse-ray (s_first, s_last, s0, s1) arc lengths of the
+            first/last occupied sample — the TPU re-design of the rasterized
+            brick-hull depth peel (drawDepthLimits,
+            recon_integration.cpp:409-429 + glsl/bricks.{vs,gs,fs})."""
+            Bz, By, Bx = occ.shape
+            Z, Y, X = vol_shape
+            occ_pairs = raymarch.PackedVolume.from_volume(
+                occ.astype(jnp.float32)
+            )
+            box_min, box_max = surface_aabb(occ)
+
+            inv = 1.0 / dirs_c
+            tbot = inv * (box_min - cam.eye_vol)
+            ttop = inv * (box_max - cam.eye_vol)
+            s0 = jnp.max(jnp.minimum(ttop, tbot), axis=-1)
+            s1 = jnp.min(jnp.maximum(ttop, tbot), axis=-1)
+            valid = (s0 <= s1) & (s1 > 0.0)
+            s0 = jnp.maximum(s0, 0.0)
+            s1 = jnp.where(valid, s1, -1.0)
+
+            big = jnp.full(dirs_c.shape[:-1], np.inf, jnp.float32)
+            init = (jnp.int32(0), big, -big)
+            span = jnp.max(jnp.where(valid, s1 - s0, 0.0))
+
+            def cond(carry):
+                k, first, last = carry
+                return (k < n_coarse_max) & (
+                    k.astype(jnp.float32) * step_len <= span
+                )
+
+            def body(carry):
+                k, first, last = carry
+                s = s0 + k.astype(jnp.float32) * step_len
+                inside = s <= s1
+                pos = cam.eye_vol + dirs_c * s[..., None]
+                # brick membership via voxel index (floor semantics of
+                # inc_bricks.glsl get_id/index_3d)
+                bx = jnp.clip((pos[..., 0] * X).astype(jnp.int32) // brick_vox, 0, Bx - 1)
+                by = jnp.clip((pos[..., 1] * Y).astype(jnp.int32) // brick_vox, 0, By - 1)
+                bz = jnp.clip((pos[..., 2] * Z).astype(jnp.int32) // brick_vox, 0, Bz - 1)
+                rows = occ_pairs.pairs[(bz * By + by) * Bx + bx]
+                o = (rows[..., 0] > 0.0) & inside
+                first = jnp.where(o & (s < first), s, first)
+                last = jnp.where(o & (s > last), s, last)
+                return (k + 1, first, last)
+
+            _, first, last = jax.lax.while_loop(cond, body, init)
+            return first, last, s0, jnp.where(valid, s1, 0.0)
+
+        def pool3(x, op):
+            p = jnp.pad(x, 1, mode="edge")
+            out = x
+            for dy in (0, 1, 2):
+                for dx in (0, 1, 2):
+                    out = op(out, p[dy: dy + x.shape[0], dx: dx + x.shape[1]])
+            return out
+
+        num_lods = c.num_lods
+
+        def finalize(rgba, depth_win, hit_img, num_img, overflow):
             if c.colorfill:
-                filled, depth_out = holefill.fill_colors(rgba, depth_win, num_lods)
+                filled, depth_out = holefill.fill_colors(
+                    rgba, depth_win, num_lods
+                )
                 color = filled[..., :3]
             else:
                 color = rgba[..., :3]
                 depth_out = depth_win
-
             # background compositing: the reference relies on the colorfill
             # pass writing gl_FragDepth = 1.0 for empty pixels, which fails
             # the GL_LESS depth test against the cleared buffer
             # (tsdf_inpaint.fs:35, view clear) — equivalent dense mask here.
             shown = depth_out < 1.0
             color = jnp.where(shown[..., None], color, 0.0)
-
             return RenderOutput(
-                color=color, depth=depth_out, hit=hit, num_samples=num
+                color=color, depth=depth_out, hit=hit_img,
+                num_samples=num_img, overflow=overflow,
             )
 
-        return render, dirs_vol_host
+        def render_blocks(volume, maps: SensorMaps, brick_counts, calib,
+                          cam: CamParams, proj_models):
+            """Block-compacted surface march: the hot path."""
+            packed = raymarch.PackedVolume.from_volume(volume)
+            if c.surface_skip:
+                occ = self._surface_brick_mask(volume)
+            else:
+                occ = brick_ops.occupied_mask(
+                    brick_counts, c.min_voxels_per_brick
+                )
+
+            dn = ray_dirs(cam, Hp, Wp)                      # (Hp, Wp, 3)
+            dirs_c = dn[ds // 2::ds, ds // 2::ds]           # block centers
+
+            first, last, s0, s1 = coarse_intervals(occ, cam, dirs_c)
+            # conservative block interval: 3x3 min/max pooling over coarse
+            # rays (including the box entry/exit, so a fine ray near the
+            # block corner is never clamped to its neighbor's box — the
+            # round-2 t_near/t_far broadcast bug)
+            first = pool3(first, jnp.minimum)
+            last = pool3(last, jnp.maximum)
+            s0p = pool3(s0, jnp.minimum)
+            s1p = pool3(s1, jnp.maximum)
+            pad = 1.5 * step_len
+            found = jnp.isfinite(first) & jnp.isfinite(last)
+            s_start = jnp.maximum(first - pad, s0p)
+            s_end = jnp.minimum(last + step_len + pad, s1p)
+            length = jnp.where(found, jnp.maximum(s_end - s_start, 0.0), 0.0)
+            s_start = jnp.where(found, s_start, 0.0)
+
+            # block compaction: fixed-capacity gather of active 4x4 pixel
+            # blocks (bookkeeping is 16x cheaper than per-ray compaction and
+            # all per-ray fetches become wide contiguous rows)
+            flags = (length > 0.0).reshape(NB)
+            capB = min(NB, -(-int(NB * c.ray_compaction) // 8) * 8)
+            (blk_idx,) = jnp.nonzero(flags, size=capB, fill_value=NB)
+            safe = jnp.minimum(blk_idx, NB - 1)
+            live_b = blk_idx < NB
+            s_start_b = jnp.where(live_b, s_start.reshape(NB)[safe], 0.0)
+            len_b = jnp.where(live_b, length.reshape(NB)[safe], 0.0)
+
+            dn_blocks = (
+                dn.reshape(Hb, ds, Wb, ds, 3)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(NB, B2, 3)
+            )
+            dn_b = dn_blocks[safe]                          # (capB, B2, 3)
+            pos0 = cam.eye_vol + dn_b * s_start_b[:, None, None]
+            ray_len = jnp.broadcast_to(len_b[:, None], (capB, B2))
+
+            R = capB * B2
+            dn_f = dn_b.reshape(R, 3)
+            se = (pos0.reshape(R, 3), ray_len.reshape(R))
+
+            lead_steps = int(np.ceil((2.0 * pad + step_len) / sd))
+            two_phase = c.march_phase1_steps > 0
+            if two_phase:
+                p1 = c.march_phase1_steps + lead_steps
+                hit, hit_pos, num, prev = raymarch.march(
+                    packed, cam.eye_vol, dn_f, c.tsdf_limit, p1, se,
+                    mode=c.march_mode, return_prev=True, refine_nearest=False,
+                )
+                max_num = jnp.ceil(se[1] / sd).astype(jnp.int32)
+                unfinished = (~hit) & (max_num > p1)
+                cap2 = max(-(-R // 4 // 8) * 8, 128)
+                (idx2,) = jnp.nonzero(unfinished, size=cap2, fill_value=R)
+                safe2 = jnp.minimum(idx2, R - 1)
+                pos2 = (se[0] + dn_f * (sd * p1))[safe2]
+                len2 = jnp.where(
+                    idx2 < R, jnp.maximum(se[1][safe2] - sd * p1, 0.0), 0.0
+                )
+                hit2, hit_pos2, num2 = raymarch.march(
+                    packed, cam.eye_vol, dn_f[safe2], c.tsdf_limit,
+                    max_steps - p1, (pos2, len2), mode=c.march_mode,
+                    prev0=prev[safe2], refine_nearest=False,
+                )
+                hit = hit.at[idx2].set(hit2, mode="drop")
+                hit_pos = hit_pos.at[idx2].set(hit_pos2, mode="drop")
+                num = num.at[idx2].add(num2, mode="drop")
+                overflow2 = jnp.maximum(
+                    jnp.sum(unfinished.astype(jnp.int32)) - cap2, 0
+                )
+            else:
+                hit, hit_pos, num = raymarch.march(
+                    packed, cam.eye_vol, dn_f, c.tsdf_limit, max_steps, se,
+                    mode=c.march_mode, refine_nearest=False,
+                )
+                overflow2 = jnp.int32(0)
+
+            # hit compaction: normals/color/shading run on the hit set only
+            hit_frac = c.hit_compaction if c.hit_compaction > 0.0 else 1.0
+            capH = min(R, -(-int(R * hit_frac) // 8) * 8)
+            (hit_idx,) = jnp.nonzero(hit, size=capH, fill_value=R)
+            safeH = jnp.minimum(hit_idx, R - 1)
+            live_h = hit_idx < R
+            step_vec_h = dn_f[safeH] * sd
+            if c.march_mode == "nearest":
+                # trilinear secant re-refinement at the crossing bracket,
+                # paid per HIT instead of per compacted ray
+                hp = raymarch.refine_crossing(
+                    packed, se[0][safeH], step_vec_h, num[safeH], live_h,
+                    hit_pos[safeH],
+                )
+            else:
+                hp = hit_pos[safeH]
+
+            rgba_h, depth_h = self._shade_hits(
+                packed, live_h, hp, maps, calib, proj_models, cam, near, far,
+            )
+
+            rgba = (
+                jnp.zeros((R, 4), jnp.float32)
+                .at[hit_idx].set(rgba_h, mode="drop")
+            )
+            depth_win = (
+                jnp.ones((R,), jnp.float32)
+                .at[hit_idx].set(depth_h, mode="drop")
+            )
+            hit_out = jnp.zeros((R,), bool).at[hit_idx].set(
+                live_h, mode="drop"
+            )
+
+            def unblock(flat, fill, channels=None):
+                shape = (NB, B2) + ((channels,) if channels else ())
+                full = jnp.full(shape, fill, flat.dtype).at[blk_idx].set(
+                    flat.reshape((capB, B2) + ((channels,) if channels else ())),
+                    mode="drop",
+                )
+                img = full.reshape(
+                    (Hb, Wb, ds, ds) + ((channels,) if channels else ())
+                ).transpose(
+                    (0, 2, 1, 3, 4) if channels else (0, 2, 1, 3)
+                )
+                img = img.reshape(
+                    (Hp, Wp) + ((channels,) if channels else ())
+                )
+                return img[:H, :W]
+
+            rgba_img = unblock(rgba, 0.0, 4)
+            depth_img = unblock(depth_win, 1.0)
+            hit_img = unblock(hit_out, False)
+            num_img = unblock(num, 0)
+
+            overflow = jnp.stack([
+                jnp.maximum(jnp.sum(flags.astype(jnp.int32)) - capB, 0),
+                overflow2,
+                jnp.maximum(jnp.sum(hit.astype(jnp.int32)) - capH, 0),
+            ])
+            return finalize(rgba_img, depth_img, hit_img, num_img, overflow)
+
+        def render_dense(volume, maps: SensorMaps, brick_counts, calib,
+                         cam: CamParams, proj_models):
+            """Full-screen march without compaction: the parity/debug path
+            (also used when bricking or space skipping is disabled)."""
+            packed = raymarch.PackedVolume.from_volume(volume)
+            dn = ray_dirs(cam, H, W)
+            hit, hit_pos, num = raymarch.march(
+                packed, cam.eye_vol, dn, c.tsdf_limit, max_steps, None,
+                mode=c.march_mode,
+            )
+            rgba, depth_win = self._shade_hits(
+                packed, hit, hit_pos, maps, calib, proj_models, cam, near, far,
+            )
+            overflow = jnp.zeros((3,), jnp.int32)
+            return finalize(rgba, depth_win, hit, num, overflow)
+
+        render = render_blocks if use_blocks else render_dense
+        cam0 = CamParams.from_camera(camera, self.bbox)
+        return render, cam0
 
     def make_renderer(
         self,
@@ -471,136 +758,21 @@ class TsdfPipeline:
         max_steps: Optional[int] = None,
         jit_compile: bool = True,
     ):
-        """Returns render(volume, maps, brick_counts) -> RenderOutput for a
-        fixed virtual camera (rays are static w.r.t. the camera), jitted by
-        default. The camera's ray grid and the calibration set are threaded
-        through the jitted function as arguments (see class docstring)."""
-        render, dirs_vol = self.make_render_fn(camera, max_steps)
+        """Returns render(volume, maps, brick_counts=None, camera=None) ->
+        RenderOutput, jitted by default. The camera POSE is threaded through
+        as arrays (CamParams), so per-frame navigation (OrbitNavigator,
+        stereo eyes, the feedback channel) re-renders without recompiling;
+        pass ``camera=`` per call to move the view."""
+        render, cam0 = self.make_render_fn(camera, max_steps)
         inner = jax.jit(render) if jit_compile else render
+        pm = self._get_projection_models()
 
-        def renderer(volume, maps: SensorMaps, brick_counts=None):
-            return inner(volume, maps, brick_counts, self.calib, dirs_vol)
+        def renderer(volume, maps: SensorMaps, brick_counts=None,
+                     camera_pose: raymarch.ViewCamera = None):
+            cam = (
+                CamParams.from_camera(camera_pose, self.bbox)
+                if camera_pose is not None else cam0
+            )
+            return inner(volume, maps, brick_counts, self.calib, cam, pm)
 
         return renderer
-
-
-def raymarch_brick_interval(
-    occupied: jnp.ndarray,     # (Bz, By, Bx) bool
-    cam_pos_vol: jnp.ndarray,  # (3,)
-    ray_dirs_vol: jnp.ndarray,  # (H, W, 3)
-    brick_res: tuple,
-    downsample: int = 1,
-):
-    """TPU-native space skipping: per-pixel [start, end] marching interval
-    from the occupied-brick mask.
-
-    Replaces the reference's rasterized brick-hull depth peel
-    (drawDepthLimits, recon_integration.cpp:409-429 + glsl/bricks.{vs,gs,fs}
-    MIN-blending) with a coarse masked march over the brick grid: sample the
-    occupancy mask at ~half-brick steps along each ray; the first and last
-    occupied samples bound the fine march.
-
-    Occupancy is nearest-sampled (exact brick membership, one gather row per
-    ray-step — trilinear would cost 8x here for a slightly dilated hull that
-    the ±1-brick interval padding below already provides).
-
-    ``downsample`` > 1 marches the coarse scan on a strided ray grid and
-    broadcasts conservative (3x3 min/max-pooled, extra-padded) intervals to
-    the full grid — a 16x cheaper pass for a slightly wider fine-march
-    interval. Intervals vary smoothly across neighboring rays (the brick
-    hull is watertight at brick scale), so pooling over the adjacent coarse
-    rays brackets every fine ray.
-    """
-    mask_flat = occupied.astype(jnp.float32).reshape(-1)
-    Bz, By, Bx = occupied.shape
-    full_dirs = ray_dirs_vol
-    if downsample > 1:
-        ray_dirs_vol = ray_dirs_vol[::downsample, ::downsample]
-    dn = ray_dirs_vol / jnp.linalg.norm(ray_dirs_vol, axis=-1, keepdims=True)
-
-    # coarse step: half of the smallest normalized brick extent
-    step_len = 0.5 / max(brick_res)
-    step_vec = dn * step_len
-
-    t0, t1 = _box01(cam_pos_vol, step_vec)
-    valid_box = t0 <= t1
-    t_near = jnp.maximum(jnp.where(valid_box, t0, 0.0), 0.0)
-    t_far = jnp.where(valid_box, t1, 0.0)
-    n_steps = int(np.ceil(np.sqrt(3.0) / step_len)) + 2
-
-    batch = ray_dirs_vol.shape[:-1]
-    big = jnp.full(batch, np.inf, jnp.float32)
-    init = (big, jnp.full(batch, -np.inf, jnp.float32))
-
-    def body(carry, k):
-        first, last = carry
-        t = t_near + k.astype(jnp.float32)
-        inside = (t <= t_far) & valid_box
-        pos = cam_pos_vol + step_vec * t[..., None]
-        # nearest-brick occupancy (floor indexing like get_id/index_3d)
-        xi = jnp.clip((pos[..., 0] * Bx).astype(jnp.int32), 0, Bx - 1)
-        yi = jnp.clip((pos[..., 1] * By).astype(jnp.int32), 0, By - 1)
-        zi = jnp.clip((pos[..., 2] * Bz).astype(jnp.int32), 0, Bz - 1)
-        occ = mask_flat[(zi * By + yi) * Bx + xi] > 0.0
-        occ = occ & inside
-        first = jnp.where(occ & (t < first), t, first)
-        last = jnp.where(occ & (t > last), t, last)
-        return (first, last), None
-
-    (first, last), _ = jax.lax.scan(body, init, jnp.arange(n_steps, dtype=jnp.int32))
-
-    # pad one brick (2 half-brick steps) each side so boundary surfaces
-    # are not clipped by the coarse sampling
-    pad = 2.0
-
-    if downsample > 1:
-        # conservative 3x3 min/max pooling over the coarse grid, then
-        # broadcast to the full grid; one extra pad step absorbs the
-        # sub-block direction variation
-        def pool(x, op):
-            p = jnp.pad(x, 1, mode="edge")
-            out = x
-            for dy in (0, 1, 2):
-                for dx in (0, 1, 2):
-                    out = op(out, p[dy : dy + x.shape[0], dx : dx + x.shape[1]])
-            return out
-
-        first = pool(first, jnp.minimum)
-        last = pool(last, jnp.maximum)
-        H, W = full_dirs.shape[:2]
-        s = downsample
-
-        def up(x):
-            x = jnp.repeat(jnp.repeat(x, s, axis=0), s, axis=1)
-            x = jnp.pad(
-                x,
-                ((0, max(0, H - x.shape[0])), (0, max(0, W - x.shape[1]))),
-                mode="edge",
-            )
-            return x[:H, :W]
-
-        first = up(first)
-        last = up(last)
-        t_near = up(t_near)
-        t_far = up(t_far)
-        pad = pad + 1.0
-        dn_full = full_dirs / jnp.linalg.norm(
-            full_dirs, axis=-1, keepdims=True
-        )
-        step_vec = dn_full * step_len
-
-    found = jnp.isfinite(first) & jnp.isfinite(last)
-    t_start = jnp.where(found, jnp.maximum(first - pad, t_near), 0.0)
-    t_end = jnp.where(found, jnp.minimum(last + pad, t_far), 0.0)
-    start_pos = cam_pos_vol + step_vec * t_start[..., None]
-    ray_len = jnp.maximum(t_end - t_start, 0.0) * step_len
-    return start_pos, ray_len
-
-
-def _box01(origin, direction):
-    inv = 1.0 / direction
-    tbot = inv * (0.0 - origin)
-    ttop = inv * (1.0 - origin)
-    tmin = jnp.minimum(ttop, tbot)
-    tmax = jnp.maximum(ttop, tbot)
-    return jnp.max(tmin, axis=-1), jnp.min(tmax, axis=-1)

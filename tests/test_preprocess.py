@@ -281,3 +281,43 @@ def test_pixel_ray_model_matches_volume_lookups():
     np.testing.assert_allclose(
         np.asarray(m_fit.quality), np.asarray(m_vol.quality), atol=1e-3
     )
+
+
+def test_pallas_stencils_parity_interpret():
+    """The Pallas bilateral/quality kernels (ops/stencil_pallas.py) must
+    reproduce the jnp reference fold tap-for-tap. Runs the kernels in
+    interpret mode on the CPU backend (use_pallas=True off-TPU); the same
+    dispatch path runs them compiled on TPU."""
+    import jax
+
+    from rgbd_recon_tpu.calib import build_synthetic_calibration
+    from rgbd_recon_tpu.ops.preprocess import preprocess_frames
+    from rgbd_recon_tpu.sensors import SyntheticScene, render_rig_frames
+
+    bbox = BBOX
+    rig = default_test_rig(num_sensors=2, depth_size=(48, 40),
+                           color_size=(64, 48), bbox=bbox)
+    calib = build_synthetic_calibration(rig, bbox, cv_res=(16, 24, 16),
+                                        inv_res=(24, 28, 24))
+    frames = render_rig_frames(
+        SyntheticScene(spheres=[((0.0, 1.1, 0.0), 0.55)]), rig
+    )
+    kw = dict(
+        cv_xyz=calib.cv_xyz, cv_uv=calib.cv_uv, bbox_min=calib.bbox_min,
+        bbox_max=calib.bbox_max, depth_limits=calib.depth_limits,
+        camera_positions=calib.camera_positions,
+    )
+    m_ref = preprocess_frames(frames.depths, frames.colors, **kw,
+                              use_pallas=False)
+    m_pal = preprocess_frames(frames.depths, frames.colors, **kw,
+                              use_pallas=True)
+
+    np.testing.assert_allclose(
+        np.asarray(m_pal.depth), np.asarray(m_ref.depth), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_pal.silhouette), np.asarray(m_ref.silhouette), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_pal.quality), np.asarray(m_ref.quality), atol=1e-5
+    )
