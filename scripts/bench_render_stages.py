@@ -47,13 +47,25 @@ rig = default_test_rig(num_sensors=4, depth_size=(512, 424),
 print("baking calibration...", flush=True)
 calib = build_synthetic_calibration(rig, bbox, cv_res=(128, 256, 128),
                                     inv_res=(200, 220, 200))
+print("bake done", flush=True)
 cfg = PipelineConfig(voxel_size=0.01, brick_size=0.1, tsdf_limit=0.01,
                      num_lods=7)
 scene = SyntheticScene(spheres=[((0.0, 1.1, 0.0), 0.55), ((0.4, 0.6, 0.3), 0.25)])
 frames = render_rig_frames(scene, rig)
+print("frames done", flush=True)
+t0 = time.perf_counter()
 pipe = TsdfPipeline(calib, cfg, bbox)
-volume, maps, counts = pipe.fuse(frames)
+print(f"pipeline init (projection bake): {time.perf_counter()-t0:.1f}s", flush=True)
+t0 = time.perf_counter()
+maps, counts = pipe.preprocess(frames)
+sync(maps.quality)
+print(f"preprocess compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
+t0 = time.perf_counter()
+volume = pipe.integrate(maps, counts)
 sync(volume)
+print(f"integrate compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
+timeit("1preprocess", lambda f: pipe.preprocess(f)[0].quality, frames)
+timeit("2integrate", pipe.integrate, maps, counts)
 
 from rgbd_recon_tpu.ops.raymarch import ViewCamera
 
