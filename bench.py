@@ -103,6 +103,51 @@ def main():
             o2 = renderer(volume, maps, counts)
             sync(o2.color)
 
+    # per-pass taxonomy inside the chains (the reference's timer names:
+    # NetKinectArray.cpp:211-216, recon_integration.cpp:146-148) — each
+    # pass timed as its own program, so the numbers carry dispatch overhead
+    # the fused chains do not; they expose intra-chain regressions.
+    import jax.numpy as jnp
+
+    from rgbd_recon_tpu.ops import holefill as hf
+    from rgbd_recon_tpu.ops import preprocess as pp
+    from rgbd_recon_tpu.ops import stencil_pallas as sp
+
+    pmod = pipe._get_pixel_models(frames.depths.shape[1:3])
+    morph_f = jax.jit(jax.vmap(pp.morph_dilate))
+    bil_f = lambda d: sp.bilateral13_tpu(d, calib.depth_limits)  # noqa: E731
+    qual_f = jax.jit(sp.quality13_tpu)
+    bnd_f = jax.jit(jax.vmap(lambda d, l: pp.boundary(d, l, True)))
+    pmt = None
+    if pmod is not None:
+        pmt = (pmod.ray_a, pmod.ray_b, pmod.uv_p, pmod.uv_q, pmod.uv_r)
+    nrm_f = jax.jit(jax.vmap(
+        lambda d, pm_: pp.normals(d, None, pixel_model=pm_)))
+    mark_f = jax.jit(lambda m: pipe._mark_bricks(calib, pmod, m))
+    fill_f = jax.jit(lambda c, d: hf.fill_colors(c, d, cfg.num_lods))
+    rgba0 = jnp.zeros(out.color.shape[:2] + (4,), jnp.float32)
+    dwin0 = jnp.ones(out.color.shape[:2], jnp.float32)
+
+    passes = [
+        ("morph", lambda: morph_f(frames.depths)),
+        ("bilateral", lambda: bil_f(maps.raw_depth)),
+        ("boundary", lambda: bnd_f(maps.depth, maps.lab)),
+        ("normal", lambda: nrm_f(maps.depth, pmt)),
+        ("quality", lambda: qual_f(maps.depth[..., 0])),
+        ("brickdraw", lambda: mark_f(maps)),
+        ("holefill", lambda: fill_f(rgba0, dwin0)),
+    ]
+    # amortize over 10 calls per sample: the tunneled device's dispatch+
+    # sync round trip (~20 ms) would otherwise swamp these sub-10ms passes
+    for name, fn in passes:
+        sync(jax.tree_util.tree_leaves(fn())[0])
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(10):
+                r = fn()
+            sync(jax.tree_util.tree_leaves(r)[0])
+            db.timer(name).add((time.perf_counter() - t0) / 10)
+
     # full frame: fuse + render
     t0 = time.perf_counter()
     for _ in range(iters):

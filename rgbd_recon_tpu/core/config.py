@@ -106,9 +106,11 @@ class PipelineConfig:
     min_voxels_per_brick: int = 10
     # Max occupied bricks the compact integration path processes per frame
     # (fixed shape for jit). Reference scenes mark 3-5.5% of bricks
-    # (inc_bricks.glsl:52-56) = ~260-480 of 8800 at default scale; 1024 is
-    # ~3x headroom. Extra occupied bricks beyond capacity are dropped.
-    brick_capacity: int = 1024
+    # (inc_bricks.glsl:52-56) = ~260-480 of 8800 at default scale; 768 is
+    # ~2x headroom, and integration cost scales linearly with it. Extra
+    # occupied bricks beyond capacity are dropped — watch
+    # TsdfPipeline.diagnostics()['bricks_dropped'] and raise if nonzero.
+    brick_capacity: int = 768
     time_limit: int = 0            # benchmark seconds; 0 = unlimited
     num_lods: int = 7              # pull-push pyramid depth
     shade_mode: int = 0            # 0 textured,1 shaded,2 normals,3 cam blend
@@ -135,8 +137,8 @@ class PipelineConfig:
     # compacted march processes; blocks whose brick interval is empty never
     # march or shade. 0 disables compaction (dense full-screen march).
     # Active blocks beyond capacity render as background and are counted in
-    # RenderOutput.overflow[0]; typical scenes activate 15-35% of blocks.
-    ray_compaction: float = 0.4
+    # RenderOutput.overflow[0]; typical scenes activate 15-25% of blocks.
+    ray_compaction: float = 0.25
     # Edge of the screen-tile blocks the interval pass scans (one coarse ray
     # per block; intervals are conservatively 3x3-min/max-pooled across
     # neighboring blocks). Also the block-compaction granularity.
@@ -144,21 +146,37 @@ class PipelineConfig:
     # Two-phase march: all compacted rays march `march_phase1_steps`; the
     # (few) rays still unfinished are re-compacted to 1/8 capacity and
     # continue at narrow width. 0 disables the split.
-    march_phase1_steps: int = 24
+    march_phase1_steps: int = 20
     # Coarse interval-scan step as a fraction of the brick edge. Smaller =
     # more coarse samples but tighter intervals (shorter fine-march lead-in).
     interval_step_frac: float = 0.25
+    # Sphere-trace through certified-empty space: a per-frame Chebyshev
+    # distance-to-surface field is baked into the marched volume as skip
+    # sentinels, and the march advances by the certified-safe distance in
+    # one iteration (exactly safe for nearest sampling). Mean iterations
+    # per ray drop ~4x at reference scale. Applies to the nearest fast path
+    # only; trilinear parity mode always steps uniformly like the reference.
+    march_empty_skip: bool = True
     # Fraction of compacted rays given hit-shading capacity (normals +
     # color blending run on the compacted hit set only). Hits beyond
     # capacity render as background and are counted in
-    # RenderOutput.overflow[1]. 0 disables hit compaction.
-    hit_compaction: float = 0.5
+    # RenderOutput.overflow[2]. 0 disables hit compaction.
+    hit_compaction: float = 0.6
+    # Map sampling of the TSDF integration: "bilinear" is the reference's
+    # exact texture() filtering (one 16-wide packed row per sample);
+    # "nearest" fetches the nearest texel (4-wide row, ~2x gather rate,
+    # deviates by at most the inter-pixel map variation — sub-voxel at
+    # reference sensor resolution).
+    integrate_taps: str = "nearest"
     # Space-skip by bricks that can actually produce ray-surface crossings
     # (any positive TSDF voxel in the 1-voxel-dilated brick) instead of the
     # marked-occupancy mask, which includes silhouette-carve-only bricks
     # that rays march end to end without hitting anything. Identical hit
     # results, much tighter intervals.
     surface_skip: bool = True
+    # Brick-marking pixel stride: every stride-th pixel scatters stride^2
+    # counts (see TsdfPipeline._mark_bricks). 1 = reference-exact.
+    mark_stride: int = 2
     # Replace the per-hit cv_xyz_inv/cv_uv lookups of the color blend with
     # analytic per-sensor projection models fitted at setup (exact for
     # pinhole calibrations — more accurate than the k-NN/IDW-baked inverse

@@ -132,12 +132,14 @@ def bilateral_lab(
     filter_on: bool = True,
     pixel_model=None,           # per-sensor PixelModels slice (a,b,p,q,r)
     bf_sums=None,               # precomputed (depth_bf, w, w_range) sums
+    lab_in=None,                # precomputed (H, W, 3) LAB (lab_colors)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Bilateral depth filter + bbox cull + LAB conversion, pre_depth.fs.
 
     ``bf_sums`` injects the 13x13 window sums from an external provider
     (the Pallas TPU kernels in ops/stencil_pallas.py); None computes them
-    with the jnp reference fold.
+    with the jnp reference fold. ``lab_in`` injects the LAB color map (from
+    :func:`lab_colors`, the unrolled per-sensor fast path).
 
     Returns (depth2 (H, W, 2): [normalized filtered depth, range confidence],
              lab (H, W, 3)).
@@ -163,17 +165,22 @@ def bilateral_lab(
         )
     in_box = jnp.all((pos_world >= bbox_min) & (pos_world <= bbox_max), axis=-1)
 
-    # LAB color (pre_depth.fs:136: degenerate depth samples use z=1.0)
-    z_for_uv = jnp.where((depth_norm <= 0.0) | (depth_norm >= 1.0), 1.0, depth_norm)
-    if pixel_model is not None:
-        ze = z_for_uv[..., None]
-        coords_c = (uv_p + uv_q * ze) / (1.0 + uv_r * ze)
+    if lab_in is not None:
+        lab = lab_in
     else:
-        coords_c = trilinear_3d(
-            cv_uv, jnp.concatenate([texcoord, z_for_uv[..., None]], axis=-1)
+        # LAB color (pre_depth.fs:136: degenerate depth samples use z=1.0)
+        z_for_uv = jnp.where(
+            (depth_norm <= 0.0) | (depth_norm >= 1.0), 1.0, depth_norm
         )
-    rgb = bilinear_2d(color, coords_c)
-    lab = rgb_to_lab(rgb)
+        if pixel_model is not None:
+            ze = z_for_uv[..., None]
+            coords_c = (uv_p + uv_q * ze) / (1.0 + uv_r * ze)
+        else:
+            coords_c = trilinear_3d(
+                cv_uv, jnp.concatenate([texcoord, z_for_uv[..., None]], axis=-1)
+            )
+        rgb = bilinear_2d(color, coords_c)
+        lab = rgb_to_lab(rgb)
 
     if not filter_on:
         depth2 = jnp.stack([depth_norm, jnp.ones_like(depth_norm)], axis=-1)
@@ -408,6 +415,47 @@ def preprocess_sensor(
     return depth2, lab, sil, nrm, qual, d_m
 
 
+def lab_colors(
+    colors: jnp.ndarray,        # (N, Hc, Wc, 3)
+    depth_norm: jnp.ndarray,    # (N, H, W) normalized morphed depth
+    pixel_models,               # stacked PixelModels tuple, or None
+    cv_uv: jnp.ndarray = None,  # (N, D, Hv, Wv, 2) fallback lookup
+) -> jnp.ndarray:
+    """(N, H, W, 3) LAB color at depth resolution (pre_depth.fs:129-137).
+
+    Unrolled over sensors with x-pair-packed color rows: 2 gather rows per
+    pixel from a per-sensor table instead of 4 corner gathers from a
+    batched one — the color fetch was the single largest preprocess cost
+    (27 ms of 49 at reference scale)."""
+    from .raymarch import _pack_pairs_2d, _pair_bilinear
+
+    N, H, W = depth_norm.shape
+    Hc, Wc = colors.shape[1:3]
+    col8 = _pack_pairs_2d(
+        jnp.concatenate([colors, jnp.zeros_like(colors[..., :1])], axis=-1)
+    )
+    z = jnp.where(
+        (depth_norm <= 0.0) | (depth_norm >= 1.0), 1.0, depth_norm
+    )
+    u = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
+    v = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
+    uu, vv = jnp.meshgrid(u, v)
+    out = []
+    for i in range(N):
+        if pixel_models is not None:
+            ray_a, ray_b, uv_p, uv_q, uv_r = pixel_models
+            ze = z[i][..., None]
+            coords_c = (uv_p[i] + uv_q[i] * ze) / (1.0 + uv_r[i] * ze)
+        else:
+            coords_c = trilinear_3d(
+                cv_uv[i],
+                jnp.stack([uu, vv, z[i]], axis=-1),
+            )
+        rgb = _pair_bilinear(col8[i], Hc, Wc, coords_c)[..., :3]
+        out.append(rgb_to_lab(rgb))
+    return jnp.stack(out)
+
+
 def preprocess_frames(
     depths: jnp.ndarray,       # (N, H, W) raw metric depth
     colors: jnp.ndarray,       # (N, Hc, Wc, 3)
@@ -458,10 +506,16 @@ def preprocess_frames(
             d_m, depth_limits, interpret=interp
         )
 
-    def front(d, c, cx, cu, dl, pm_, sums):
+    # LAB color fetch hoisted out of the vmap: per-sensor pair-packed
+    # gathers (see lab_colors)
+    near = depth_limits[:, 0][:, None, None]
+    far = depth_limits[:, 1][:, None, None]
+    labs = lab_colors(colors, (d_m - near) / (far - near), pm, cv_uv)
+
+    def front(d, c, cx, cu, dl, pm_, sums, lab_i):
         depth2, lab = bilateral_lab(
             d, c, cx, cu, bbox_min, bbox_max, dl, bilateral,
-            pixel_model=pm_, bf_sums=sums,
+            pixel_model=pm_, bf_sums=sums, lab_in=lab_i,
         )
         depth2, sil = boundary(depth2, lab, refine)
         nrm = normals(depth2, cx, pixel_model=pm_)
@@ -469,8 +523,8 @@ def preprocess_frames(
 
     depth2, lab, sil, nrm = jax.vmap(
         front,
-        in_axes=(0, 0, 0, 0, 0, pm_axes, None if bf_sums is None else 0),
-    )(d_m, colors, cv_xyz, cv_uv, depth_limits, pm, bf_sums)
+        in_axes=(0, 0, 0, 0, 0, pm_axes, None if bf_sums is None else 0, 0),
+    )(d_m, colors, cv_xyz, cv_uv, depth_limits, pm, bf_sums, labs)
 
     q_sums = None
     if use_pallas:

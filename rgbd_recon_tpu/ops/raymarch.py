@@ -131,9 +131,14 @@ class PackedVolume:
         rows = self.pairs[(zi * H + yi) * W + xi]
         return rows[..., 0]
 
-    def sample_trilinear(self, pos: jnp.ndarray) -> jnp.ndarray:
+    def sample_trilinear(self, pos: jnp.ndarray,
+                         clamp_floor: float = None) -> jnp.ndarray:
         """GL LINEAR semantics sample (identical taps/weights to
-        sampling.trilinear_3d) in 4 pair-row gathers."""
+        sampling.trilinear_3d) in 4 pair-row gathers. ``clamp_floor``
+        clamps each tap from below before interpolation — used to neutralise
+        the -2.0 skip sentinel of the marched volume (see
+        TsdfPipeline: empty-brick skipping) back to the -limit truncation
+        floor near skip-brick borders."""
         D, H, W = self.shape
         cx = pos[..., 0] * W - 0.5
         cy = pos[..., 1] * H - 0.5
@@ -151,6 +156,8 @@ class PackedVolume:
 
         def pair(z, y):
             r = self.pairs[(z * H + y) * W + x0]
+            if clamp_floor is not None:
+                r = jnp.maximum(r, clamp_floor)
             return r[..., 0] * (1.0 - fx) + r[..., 1] * fx
 
         c00 = pair(z0, y0)
@@ -173,31 +180,47 @@ jax.tree_util.register_dataclass(
 
 
 def march(
-    volume: jnp.ndarray,         # (Z, Y, X) TSDF
+    volume: jnp.ndarray,         # (Z, Y, X) TSDF or PackedVolume
     cam_pos_vol: jnp.ndarray,    # (3,) camera in volume-normalized coords
     ray_dirs_vol: jnp.ndarray,   # (..., 3) directions in volume coords
     limit: float,
     max_steps: int,
     start_end: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     mode: str = "trilinear",
-    prev0: Optional[jnp.ndarray] = None,
-    return_prev: bool = False,
     refine_nearest: bool = True,
+    sentinel_skip: bool = False,
+    resume=None,
+    return_state: bool = False,
 ):
     """Core marching loop (tsdf_raymarch.fs:62-114).
 
     Args:
       start_end: optional per-pixel (start_pos (..., 3), ray_length (...))
         from the brick depth-interval pass (skipSpace path, :69-74).
-      mode: "trilinear" — the reference's exact sampling (8 gather rows per
-        ray per step); "nearest" — the TPU fast path: nearest-voxel stepping
-        (1 gather row per ray per step) with a final trilinear secant
-        re-refinement at the crossing. The crossing is localised to the same
-        inter-step bracket in both modes whenever the trilinear field
-        crosses zero within a voxel of the nearest-field crossing — true
-        everywhere except sub-voxel grazing contacts.
+      mode: "trilinear" — the reference's exact sampling; "nearest" — the
+        TPU fast path: nearest-voxel stepping (1 pair-row gather per step)
+        with a final trilinear secant re-refinement at the crossing. The
+        crossing is localised to the same inter-step bracket in both modes
+        whenever the trilinear field crosses zero within a voxel of the
+        nearest-field crossing — true everywhere except sub-voxel grazing
+        contacts.
+      sentinel_skip: when True, samples below the -2.0 SKIP SENTINEL
+        threshold encode a certified-safe advance distance
+        (value = -(2.0 + safe_advance); the pipeline bakes a per-frame
+        Chebyshev distance-to-surface field into the marched volume) and
+        the ray sphere-traces: advance = max(safe_advance, sample
+        distance) in one iteration. Sentinel samples are clamped back to
+        the -limit truncation floor for all density math, so hit logic
+        matches reference semantics.
+      resume: optional (t, prev_t, prev_density) per-ray state from an
+        earlier march's return_state — continues those rays (the two-phase
+        tail recompaction).
+      return_state: also return (t, prev_t, prev_density, lo_t, hi_t)
+        where [lo_t, hi_t] brackets the crossing for hit rays (arc lengths
+        from start_pos along the unit direction).
 
-    Returns (hit (...) bool, hit_pos (..., 3), num_samples (...) int32).
+    Returns (hit (...) bool, hit_pos (..., 3), num_samples (...) int32
+    [, state]).
     """
     packed = (
         volume
@@ -205,95 +228,124 @@ def march(
         else PackedVolume.from_volume(volume)
     )
     nearest = mode == "nearest"
-    sample_distance = limit * 0.5
+    sd = limit * 0.5
     dn = ray_dirs_vol / jnp.linalg.norm(ray_dirs_vol, axis=-1, keepdims=True)
-    step_vec = dn * sample_distance
 
     if start_end is None:
+        step_vec = dn * sd
         t0, t1 = _intersect_unit_box(cam_pos_vol, step_vec)
         is_t0 = t0 <= t1
-        t_near = jnp.where(is_t0, t0, t1)
-        t_near = jnp.maximum(t_near, 0.0)
+        t_near = jnp.maximum(jnp.where(is_t0, t0, t1), 0.0)
         t_far = jnp.where(is_t0, t1, t0)
         pos0 = cam_pos_vol + step_vec * t_near[..., None]
-        max_num = jnp.ceil(jnp.abs(t_far - t_near)).astype(jnp.int32)
         # rays that never rasterize the cube's back faces spawn no
-        # fragments in the reference (tsdf_raymarch runs on cube geometry);
-        # equivalently: no intersection, or the box is behind the camera
-        max_num = jnp.where(is_t0 & (t_far > t_near), max_num, 0)
+        # fragments in the reference (tsdf_raymarch runs on cube geometry)
+        ray_len = jnp.where(
+            is_t0 & (t_far > t_near), (t_far - t_near) * sd, 0.0
+        )
     else:
         pos0, ray_len = start_end
-        max_num = jnp.ceil(ray_len / sample_distance).astype(jnp.int32)
 
     batch = ray_dirs_vol.shape[:-1]
+    if resume is not None:
+        t_init, prev_t_init, prev_init = resume
+    else:
+        t_init = jnp.zeros(batch, jnp.float32)
+        prev_t_init = jnp.zeros(batch, jnp.float32)
+        prev_init = jnp.full(batch, -limit, jnp.float32)  # :89
+
     init = (
-        jnp.int32(0),                               # step index
+        jnp.int32(0),
         jnp.zeros(batch, bool),                     # hit
-        (jnp.full(batch, -limit, jnp.float32)       # prev_density (:89)
-         if prev0 is None else prev0),
-        jnp.zeros(batch + (3,), jnp.float32),       # hit_pos
-        jnp.zeros(batch, jnp.int32),                # num_samples
+        t_init,                                     # arc length from pos0
+        prev_t_init,
+        prev_init,                                  # prev density
+        jnp.zeros(batch, jnp.float32),              # hit_t (secant)
+        jnp.zeros(batch, jnp.float32),              # lo_t (bracket)
+        jnp.zeros(batch, jnp.float32),              # hi_t
+        jnp.zeros(batch, jnp.int32),                # num samples
     )
 
-    # uniform early exit: a while_loop runs only as long as the SLOWEST ray
-    # is still marching (with brick-interval starts most rays hit within a
-    # few steps; a scan would always pay all max_steps trilinear gathers).
-    # Per-ray divergence is handled by the active mask; the loop condition
-    # is the any-reduction the whole chip agrees on.
+    # uniform early exit: the while_loop runs only as long as the SLOWEST
+    # ray is still marching; per-ray divergence is the active mask, the
+    # loop condition is the any-reduction the whole chip agrees on.
     def cond(carry):
-        k, hit, prev, hit_pos, num = carry
-        return (k < max_steps) & jnp.any((~hit) & (k < max_num))
+        k, hit, t = carry[0], carry[1], carry[2]
+        return (k < max_steps) & jnp.any((~hit) & (t <= ray_len) & (ray_len > 0.0))
 
     def body(carry):
-        k, hit, prev, hit_pos, num = carry
-        active = (~hit) & (k < max_num)
-        pos = pos0 + step_vec * k.astype(jnp.float32)
-        density = packed.sample(pos, mode)
+        k, hit, t, prev_t, prev, hit_t, lo_t, hi_t, num = carry
+        active = (~hit) & (t <= ray_len) & (ray_len > 0.0)
+        pos = pos0 + dn * t[..., None]
+        raw = packed.sample(pos, mode)
+        density = jnp.maximum(raw, -limit)  # neutralise the skip sentinel
         found = active & (density > 0.0)
         denom = density - prev
-        refined = (pos - step_vec) - step_vec * (
-            prev / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
-        )[..., None]
-        hit_pos = jnp.where(found[..., None], refined, hit_pos)
+        # secant zero of the (prev_t, t) bracket: equals the reference's
+        # pos - step * density/(density - prev) for uniform steps
+        tstar = t - (t - prev_t) * (
+            density / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+        )
+        hit_t = jnp.where(found, tstar, hit_t)
+        lo_t = jnp.where(found, prev_t, lo_t)
+        hi_t = jnp.where(found, t, hi_t)
+        if sentinel_skip:
+            advance = jnp.where(
+                raw < -1.5, jnp.maximum(-raw - 2.0, sd), sd
+            )
+        else:
+            advance = sd
         num = jnp.where(active, num + 1, num)
+        prev_t = jnp.where(active, t, prev_t)
         prev = jnp.where(active, density, prev)
-        return (k + 1, hit | found, prev, hit_pos, num)
+        t = jnp.where(active, t + advance, t)
+        return (k + 1, hit | found, t, prev_t, prev, hit_t, lo_t, hi_t, num)
 
-    (_, hit, prev_out, hit_pos, num) = jax.lax.while_loop(cond, body, init)
+    (_, hit, t, prev_t, prev, hit_t, lo_t, hi_t, num) = jax.lax.while_loop(
+        cond, body, init
+    )
+
+    hit_pos = pos0 + dn * hit_t[..., None]
 
     if nearest and refine_nearest:
-        hit_pos = refine_crossing(packed, pos0, step_vec, num, hit, hit_pos)
+        hit_pos = refine_crossing(packed, pos0, dn, lo_t, hi_t, hit, hit_pos)
 
-    if return_prev:
-        return hit, hit_pos, num, prev_out
+    if return_state:
+        return hit, hit_pos, num, (t, prev_t, prev, lo_t, hi_t)
     return hit, hit_pos, num
 
 
 def refine_crossing(
     packed: "PackedVolume",
     pos0: jnp.ndarray,
-    step_vec: jnp.ndarray,
-    num: jnp.ndarray,
+    dn: jnp.ndarray,
+    lo_t: jnp.ndarray,
+    hi_t: jnp.ndarray,
     hit: jnp.ndarray,
     hit_pos: jnp.ndarray,
+    clamp_floor: float = None,
 ) -> jnp.ndarray:
-    """Trilinear secant re-refinement at the nearest-march crossing bracket:
-    reproduces the reference's secant on trilinear samples
+    """Trilinear secant re-refinement at the nearest-march crossing bracket
+    [lo_t, hi_t]: reproduces the reference's secant on trilinear samples
     (tsdf_raymarch.fs:98-101) for hit rays. Separated out so callers that
-    compact hits first (the pipeline) pay it only on the hit set."""
-    p1 = pos0 + step_vec * (num[..., None].astype(jnp.float32) - 1.0)
-    v1 = packed.sample_trilinear(p1)
-    v0 = packed.sample_trilinear(p1 - step_vec)
+    compact hits first (the pipeline) pay it only on the hit set.
+    ``clamp_floor`` neutralises the skip sentinel of a marched volume."""
+    p_hi = pos0 + dn * hi_t[..., None]
+    p_lo = pos0 + dn * lo_t[..., None]
+    v1 = packed.sample_trilinear(p_hi, clamp_floor=clamp_floor)
+    v0 = packed.sample_trilinear(p_lo, clamp_floor=clamp_floor)
     denom = v1 - v0
     ok = hit & (v1 > 0.0) & (v0 <= 0.0)
-    refined = (p1 - step_vec) - step_vec * (
-        v0 / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
-    )[..., None]
+    tstar = hi_t - (hi_t - lo_t) * (
+        v1 / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+    )
+    refined = pos0 + dn * tstar[..., None]
     return jnp.where(ok[..., None], refined, hit_pos)
 
 
 def gradient_normal(volume, pos: jnp.ndarray, limit: float,
-                    mode: str = "trilinear") -> jnp.ndarray:
+                    mode: str = "trilinear",
+                    clamp_floor: float = None) -> jnp.ndarray:
     """Central-difference TSDF gradient, negated and normalized
     (get_gradient, tsdf_raymarch.fs:148-157). In volume-normalized space.
     mode="nearest" uses nearest-voxel samples (6 vs 24 pair-row gathers per
@@ -309,7 +361,10 @@ def gradient_normal(volume, pos: jnp.ndarray, limit: float,
     ez = jnp.array([0, 0, sd], jnp.float32)
 
     def s(p):
-        return packed.sample(p, mode)
+        if mode == "nearest":
+            v = packed.sample_nearest(p)
+            return v if clamp_floor is None else jnp.maximum(v, clamp_floor)
+        return packed.sample_trilinear(p, clamp_floor=clamp_floor)
 
     g = jnp.stack(
         [
@@ -327,18 +382,21 @@ def _pack_pairs_2d(arrs) -> jnp.ndarray:
     holds the channels at x AND at x+1 (edge-clamped), so one row gather
     fetches both x-taps of a bilinear corner pair — 2 gathers per sample
     instead of 4 (gather cost on TPU is per ROW, near-independent of row
-    width up to ~8 f32; scripts/probe_gather_rates.py)."""
+    width up to ~8 f32; scripts/probe_gather_rates.py). Kept (N, H*W, 2C)
+    so consumers gather per-sensor slices — small tables gather ~2x faster
+    than one concatenated table."""
     base = jnp.stack(arrs, axis=-1) if isinstance(arrs, (list, tuple)) else arrs
     N, H, W = base.shape[:3]
     nxt = jnp.concatenate([base[:, :, 1:], base[:, :, -1:]], axis=2)
     return jnp.concatenate([base, nxt], axis=-1).reshape(
-        N * H * W, 2 * base.shape[-1]
+        N, H * W, 2 * base.shape[-1]
     )
 
 
-def _pair_bilinear(table, base, Ht, Wt, uv):
-    """Bilinear sample from an x-pair-packed (rows, 2C) table: 2 row gathers
-    (y0, y1) instead of 4 corner gathers; exact GL semantics."""
+def _pair_bilinear(table, Ht, Wt, uv):
+    """Bilinear sample from ONE sensor's x-pair-packed (Ht*Wt, 2C) table:
+    2 row gathers (y0, y1) instead of 4 corner gathers; exact GL
+    semantics."""
     cx = uv[..., 0] * Wt - 0.5
     cy = uv[..., 1] * Ht - 0.5
     x0f, y0f = jnp.floor(cx), jnp.floor(cy)
@@ -347,8 +405,8 @@ def _pair_bilinear(table, base, Ht, Wt, uv):
     x0 = jnp.clip(x0f.astype(jnp.int32), 0, Wt - 1)
     y0 = jnp.clip(y0f.astype(jnp.int32), 0, Ht - 1)
     y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, Ht - 1)
-    r0 = table[base + y0 * Wt + x0]
-    r1 = table[base + y1 * Wt + x0]
+    r0 = table[y0 * Wt + x0]
+    r1 = table[y1 * Wt + x0]
     half = table.shape[-1] // 2
     c0 = r0[..., :half] * (1 - fx) + r0[..., half:] * fx
     c1 = r1[..., :half] * (1 - fx) + r1[..., half:] * fx
@@ -422,8 +480,8 @@ def blend_colors_fast(
         pos_calib = lookup[..., :3]
         in_frustum = lookup[..., 3] > 0.99
         pos_color = nearest_rows(cv_uv[i], pos_calib)[..., :2]
-        col = _pair_bilinear(col8, i * Hc * Wc, Hc, Wc, pos_color)[..., :3]
-        dqv = _pair_bilinear(dq4, i * H * W, H, W, pos_calib[..., :2])
+        col = _pair_bilinear(col8[i], Hc, Wc, pos_color)[..., :3]
+        dqv = _pair_bilinear(dq4[i], H, W, pos_calib[..., :2])
         acc = _blend_accumulate(
             i, col, dqv[..., 0], dqv[..., 1], pos_calib[..., 2], in_frustum,
             limit, acc,
@@ -466,8 +524,8 @@ def blend_colors_analytic(
         uvd = proj_models.uvd(i, world_pos)
         in_frustum = jnp.all((uvd >= 0.0) & (uvd <= 1.0), axis=-1)
         pos_color = proj_models.color_uv(i, world_pos)
-        col = _pair_bilinear(col8, i * Hc * Wc, Hc, Wc, pos_color)[..., :3]
-        dqv = _pair_bilinear(dq4, i * H * W, H, W, uvd[..., :2])
+        col = _pair_bilinear(col8[i], Hc, Wc, pos_color)[..., :3]
+        dqv = _pair_bilinear(dq4[i], H, W, uvd[..., :2])
         acc = _blend_accumulate(
             i, col, dqv[..., 0], dqv[..., 1], uvd[..., 2], in_frustum,
             limit, acc,

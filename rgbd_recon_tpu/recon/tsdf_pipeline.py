@@ -180,28 +180,44 @@ class TsdfPipeline:
         self, calib: CalibrationSet, pixel_models, maps: SensorMaps
     ) -> jnp.ndarray:
         """Brick occupancy from valid depth pixels (the pre_normal.fs side
-        effect, glsl/pre_normal.fs:32-34 + inc_bricks.glsl:40-58)."""
+        effect, glsl/pre_normal.fs:32-34 + inc_bricks.glsl:40-58).
+
+        With ``config.mark_stride`` > 1, only every stride-th pixel scatters
+        and contributes stride^2 counts — a stride^2-cheaper scatter whose
+        counters stay on the reference scale (a 10 cm brick's footprint is
+        hundreds of pixels, so subsampled counts cross the >10 threshold for
+        the same bricks except at extreme grazing angles). Stride 1 is the
+        reference-exact mode.
+        """
         N, H, W = maps.depth.shape[:3]
+        s = max(int(self.config.mark_stride), 1)
         d_all = maps.depth[..., 0]
+        if s > 1:
+            d_all = d_all[:, s // 2::s, s // 2::s]
         valids = (d_all > 0.0) & (d_all < 1.0)
         if pixel_models is not None:
-            worlds = pixel_models.world(d_all)
+            ray_a, ray_b = pixel_models.ray_a, pixel_models.ray_b
+            if s > 1:
+                ray_a = ray_a[:, s // 2::s, s // 2::s]
+                ray_b = ray_b[:, s // 2::s, s // 2::s]
+            worlds = ray_a + ray_b * d_all[..., None]
         else:
-            u = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
-            v = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
+            u = (jnp.arange(W, dtype=jnp.float32)[s // 2::s] + 0.5) / W
+            v = (jnp.arange(H, dtype=jnp.float32)[s // 2::s] + 0.5) / H
             uu, vv = jnp.meshgrid(u, v)
 
             def world_of(cv_xyz_i, d):
                 return trilinear_3d(cv_xyz_i, jnp.stack([uu, vv, d], axis=-1))
 
             worlds = jax.vmap(world_of)(calib.cv_xyz, d_all)
-        return brick_ops.mark_bricks(
+        counts = brick_ops.mark_bricks(
             worlds,
             valids,
             calib.bbox_min,
             self.config.brick_size,
             self.brick_grid.res,
         )
+        return counts * (s * s)
 
     def _voxel_mask(self, brick_counts: jnp.ndarray):
         c = self.config
@@ -238,6 +254,7 @@ class TsdfPipeline:
                 self.brick_vox,
                 carve_sil_threshold=c.carve_sil_threshold,
                 phantom_hull=c.phantom_hull,
+                taps=c.integrate_taps,
             )
         return tsdf.integrate(
             self.volume_grid.shape,
@@ -339,7 +356,8 @@ class TsdfPipeline:
         return self._projection_models
 
     def _shade_hits(self, packed, hit, hit_pos, maps, calib, proj_models,
-                    cam: CamParams, near: float, far: float):
+                    cam: CamParams, near: float, far: float,
+                    clamp_floor: float = None):
         """Normal + color + shading at hit positions (any batch shape).
         Returns (rgba, depth_win). The submitFragment half of the raymarch
         shader (tsdf_raymarch.fs:116-142)."""
@@ -347,7 +365,8 @@ class TsdfPipeline:
         bbox_sz = jnp.asarray(np.asarray(self.bbox.size, np.float32))
 
         grad = raymarch.gradient_normal(
-            packed, hit_pos, c.tsdf_limit, mode=c.march_mode
+            packed, hit_pos, c.tsdf_limit, mode=c.march_mode,
+            clamp_floor=clamp_floor,
         )
         # volume-space gradient -> world via inverse-transpose of the
         # (diagonal) vol_to_world scale (recon_integration.cpp:200)
@@ -585,13 +604,58 @@ class TsdfPipeline:
         def render_blocks(volume, maps: SensorMaps, brick_counts, calib,
                           cam: CamParams, proj_models):
             """Block-compacted surface march: the hot path."""
-            packed = raymarch.PackedVolume.from_volume(volume)
             if c.surface_skip:
                 occ = self._surface_brick_mask(volume)
             else:
                 occ = brick_ops.occupied_mask(
                     brick_counts, c.min_voxels_per_brick
                 )
+
+            skip = c.march_empty_skip and c.march_mode == "nearest"
+            Z, Y, X = vol_shape
+            if skip:
+                # per-frame Chebyshev distance-to-surface field baked into
+                # the volume as skip sentinels: voxels >= 2 voxels from any
+                # positive voxel store -(2.0 + safe_advance) and the march
+                # sphere-traces through them (advance = safe_advance in one
+                # iteration). Exactly safe for nearest sampling: a step of
+                # (d-1) voxel-extents from a voxel at Chebyshev distance d
+                # cannot reach a positive voxel. K dilations bound the
+                # field build to a few fused passes over the volume.
+                K = 12
+                h_min = 1.0 / max(vol_shape)
+                dil = volume > 0.0
+
+                def dilate1(m, ax):
+                    sl_lo = [slice(None)] * 3
+                    sl_lo[ax] = slice(1, None)
+                    sl_hi = [slice(None)] * 3
+                    sl_hi[ax] = slice(None, -1)
+                    pad_lo = [(0, 0)] * 3
+                    pad_lo[ax] = (0, 1)
+                    pad_hi = [(0, 0)] * 3
+                    pad_hi[ax] = (1, 0)
+                    return (
+                        m
+                        | jnp.pad(m[tuple(sl_lo)], pad_lo)
+                        | jnp.pad(m[tuple(sl_hi)], pad_hi)
+                    )
+
+                safe_steps = jnp.zeros(vol_shape, jnp.float32)
+                for _ in range(K):
+                    for ax in (0, 1, 2):
+                        dil = dilate1(dil, ax)
+                    safe_steps = safe_steps + (~dil).astype(jnp.float32)
+                vol_m = jnp.where(
+                    safe_steps > 0.0,
+                    -(2.0 + safe_steps * h_min),
+                    volume,
+                )
+                packed = raymarch.PackedVolume.from_volume(vol_m)
+                floor = -c.tsdf_limit
+            else:
+                packed = raymarch.PackedVolume.from_volume(volume)
+                floor = None
 
             dn = ray_dirs(cam, Hp, Wp)                      # (Hp, Wp, 3)
             dirs_c = dn[ds // 2::ds, ds // 2::ds]           # block centers
@@ -640,35 +704,38 @@ class TsdfPipeline:
             two_phase = c.march_phase1_steps > 0
             if two_phase:
                 p1 = c.march_phase1_steps + lead_steps
-                hit, hit_pos, num, prev = raymarch.march(
+                hit, hit_pos, num, st = raymarch.march(
                     packed, cam.eye_vol, dn_f, c.tsdf_limit, p1, se,
-                    mode=c.march_mode, return_prev=True, refine_nearest=False,
+                    mode=c.march_mode, refine_nearest=False,
+                    sentinel_skip=skip, return_state=True,
                 )
-                max_num = jnp.ceil(se[1] / sd).astype(jnp.int32)
-                unfinished = (~hit) & (max_num > p1)
+                t1_, pt1, pv1, lo_t, hi_t = st
+                unfinished = (~hit) & (t1_ <= se[1]) & (se[1] > 0.0)
                 cap2 = max(-(-R // 4 // 8) * 8, 128)
                 (idx2,) = jnp.nonzero(unfinished, size=cap2, fill_value=R)
                 safe2 = jnp.minimum(idx2, R - 1)
-                pos2 = (se[0] + dn_f * (sd * p1))[safe2]
-                len2 = jnp.where(
-                    idx2 < R, jnp.maximum(se[1][safe2] - sd * p1, 0.0), 0.0
-                )
-                hit2, hit_pos2, num2 = raymarch.march(
+                len2 = jnp.where(idx2 < R, se[1][safe2], 0.0)
+                hit2, _, num2, st2 = raymarch.march(
                     packed, cam.eye_vol, dn_f[safe2], c.tsdf_limit,
-                    max_steps - p1, (pos2, len2), mode=c.march_mode,
-                    prev0=prev[safe2], refine_nearest=False,
+                    max_steps - p1, (se[0][safe2], len2), mode=c.march_mode,
+                    resume=(t1_[safe2], pt1[safe2], pv1[safe2]),
+                    refine_nearest=False, sentinel_skip=skip,
+                    return_state=True,
                 )
                 hit = hit.at[idx2].set(hit2, mode="drop")
-                hit_pos = hit_pos.at[idx2].set(hit_pos2, mode="drop")
+                lo_t = lo_t.at[idx2].set(st2[3], mode="drop")
+                hi_t = hi_t.at[idx2].set(st2[4], mode="drop")
                 num = num.at[idx2].add(num2, mode="drop")
                 overflow2 = jnp.maximum(
                     jnp.sum(unfinished.astype(jnp.int32)) - cap2, 0
                 )
             else:
-                hit, hit_pos, num = raymarch.march(
+                hit, hit_pos, num, st = raymarch.march(
                     packed, cam.eye_vol, dn_f, c.tsdf_limit, max_steps, se,
                     mode=c.march_mode, refine_nearest=False,
+                    sentinel_skip=skip, return_state=True,
                 )
+                lo_t, hi_t = st[3], st[4]
                 overflow2 = jnp.int32(0)
 
             # hit compaction: normals/color/shading run on the hit set only
@@ -677,19 +744,18 @@ class TsdfPipeline:
             (hit_idx,) = jnp.nonzero(hit, size=capH, fill_value=R)
             safeH = jnp.minimum(hit_idx, R - 1)
             live_h = hit_idx < R
-            step_vec_h = dn_f[safeH] * sd
-            if c.march_mode == "nearest":
-                # trilinear secant re-refinement at the crossing bracket,
-                # paid per HIT instead of per compacted ray
-                hp = raymarch.refine_crossing(
-                    packed, se[0][safeH], step_vec_h, num[safeH], live_h,
-                    hit_pos[safeH],
-                )
-            else:
-                hp = hit_pos[safeH]
+            # secant refinement at the crossing bracket, paid per HIT
+            # (trilinear samples — exact for parity mode too: the secant of
+            # the same bracket on the same field)
+            hp = raymarch.refine_crossing(
+                packed, se[0][safeH], dn_f[safeH], lo_t[safeH], hi_t[safeH],
+                live_h, jnp.zeros((capH, 3), jnp.float32),
+                clamp_floor=floor,
+            )
 
             rgba_h, depth_h = self._shade_hits(
                 packed, live_h, hp, maps, calib, proj_models, cam, near, far,
+                clamp_floor=floor,
             )
 
             rgba = (

@@ -58,6 +58,7 @@ def small_setup():
                                         inv_res=(32, 36, 32))
     frames = render_rig_frames(SyntheticScene(spheres=[((0.0, 1.1, 0.0), 0.55)]), rig)
     cfg = PipelineConfig(voxel_size=0.0625, brick_size=0.25, tsdf_limit=0.02,
+                         integrate_taps="bilinear",  # dense sharded path is bilinear
                          num_lods=4)
     pipe = TsdfPipeline(calib, cfg, BBOX)
     return pipe, frames

@@ -198,11 +198,25 @@ def test_brick_compact_integration_matches_dense():
     frames = render_rig_frames(
         SyntheticScene(spheres=[((0.0, 1.1, 0.0), 0.55)]), rig
     )
-    cfg = dict(voxel_size=0.05, brick_size=0.25, tsdf_limit=0.02, num_lods=4)
+    cfg = dict(voxel_size=0.05, brick_size=0.25, tsdf_limit=0.02, num_lods=4,
+               integrate_taps="bilinear")
 
     pipe_c = TsdfPipeline(calib, PipelineConfig(**cfg), bbox)
     assert pipe_c.compact, "test config must hit the compact path"
     vol_c, maps, counts = pipe_c.fuse(frames)
+
+    # nearest-tap fast mode: bounded deviation from the exact bilinear path
+    pipe_n = TsdfPipeline(
+        calib,
+        PipelineConfig(**{**cfg, "integrate_taps": "nearest"}),
+        bbox,
+    )
+    vol_n = pipe_n.integrate(maps, counts)
+    limit = cfg["tsdf_limit"]
+    diff = np.abs(np.asarray(vol_n) - np.asarray(vol_c))
+    # TSDF values live in [-limit, limit]; nearest taps may flip individual
+    # band voxels near depth edges but the bulk must agree
+    assert np.quantile(diff, 0.95) < limit * 0.5, np.quantile(diff, 0.95)
 
     pipe_d = TsdfPipeline(
         calib, PipelineConfig(**cfg, precompute_projections=True), bbox
