@@ -322,9 +322,15 @@ def derive_pixel_models(
             )
             uv_p = u1 + (u1 * uv_r - uv_q) * d1
 
-            # residuals at held-out depths
+            # residuals at held-out depths, including near the endpoints:
+            # the preprocess chain evaluates the models across (0, 1) and —
+            # for degenerate-depth pixels — at the far texel plane (the
+            # clamped equivalent of pre_depth.fs:136's z = 1.0), so
+            # extrapolation error there must be inside the gate too
+            D = vol_xyz.shape[0]
+            z_far = 1.0 - 0.5 / D
             res = jnp.float32(0.0)
-            for d in (0.35, 0.65):
+            for d in (0.05, 0.35, 0.65, 0.95, z_far):
                 wm = ray_a + ray_b * d
                 res = jnp.maximum(res, jnp.max(jnp.abs(wm - at_depth(vol_xyz, d))))
                 um = (uv_p + uv_q * d) / (1.0 + uv_r * d)

@@ -162,6 +162,12 @@ class PipelineConfig:
     # capacity render as background and are counted in
     # RenderOutput.overflow[2]. 0 disables hit compaction.
     hit_compaction: float = 0.6
+    # Color blending at raymarch hits: "quality" is the reference's default
+    # blendColors (quality/(dist+0.01) weights + inverse-distance fallback,
+    # tsdf_raymarch.fs:303-338); "normal_deviation" and "best_two" are its
+    # alternative blendColors2 paths (:266-301) weighting by surface-vs-
+    # sensor normal agreement.
+    blend_mode: str = "quality"
     # Map sampling of the TSDF integration: "bilinear" is the reference's
     # exact texture() filtering (one 16-wide packed row per sample);
     # "nearest" fetches the nearest texel (4-wide row, ~2x gather rate,

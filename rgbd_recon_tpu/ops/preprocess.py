@@ -168,9 +168,15 @@ def bilateral_lab(
     if lab_in is not None:
         lab = lab_in
     else:
-        # LAB color (pre_depth.fs:136: degenerate depth samples use z=1.0)
+        # LAB color (pre_depth.fs:136: degenerate depth samples use z=1.0;
+        # for the analytic models, evaluate at the far texel plane — the
+        # clamped equivalent; see lab_colors)
+        z_deg = (
+            1.0 if pixel_model is None or cv_uv is None
+            else 1.0 - 0.5 / cv_uv.shape[0]
+        )
         z_for_uv = jnp.where(
-            (depth_norm <= 0.0) | (depth_norm >= 1.0), 1.0, depth_norm
+            (depth_norm <= 0.0) | (depth_norm >= 1.0), z_deg, depth_norm
         )
         if pixel_model is not None:
             ze = z_for_uv[..., None]
@@ -434,8 +440,15 @@ def lab_colors(
     col8 = _pack_pairs_2d(
         jnp.concatenate([colors, jnp.zeros_like(colors[..., :1])], axis=-1)
     )
+    # degenerate-depth pixels use the far plane (pre_depth.fs:136's z=1.0).
+    # The volume path clamps z=1.0 to the last texel plane (GL
+    # CLAMP_TO_EDGE); the analytic models extrapolate instead, so evaluate
+    # them AT that plane to match the reference's clamped semantics.
+    z_far = 1.0 - 0.5 / cv_uv.shape[1] if cv_uv is not None else 1.0
     z = jnp.where(
-        (depth_norm <= 0.0) | (depth_norm >= 1.0), 1.0, depth_norm
+        (depth_norm <= 0.0) | (depth_norm >= 1.0),
+        1.0 if pixel_models is None else z_far,
+        depth_norm,
     )
     u = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
     v = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H

@@ -581,6 +581,93 @@ def blend_colors(
     return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
 
 
+def blend_colors_normal(
+    sample_pos: jnp.ndarray,     # (..., 3) volume-normalized hit positions
+    world_pos: jnp.ndarray,      # (..., 3) world hit positions
+    surf_normal: jnp.ndarray,    # (..., 3) get_gradient output at the hits
+    proj_models,                 # ProjectionModels or None
+    cv_xyz_inv: jnp.ndarray,
+    cv_uv: jnp.ndarray,
+    colors: jnp.ndarray,         # (N, Hc, Wc, 3)
+    depths: jnp.ndarray,         # (N, H, W)
+    normal_maps: jnp.ndarray,    # (N, H, W, 3) world-space sensor normals
+    limit: float,
+    variant: str = "deviation",
+):
+    """The reference's alternative blends (blendColors2,
+    tsdf_raymarch.fs:266-301):
+
+      variant="deviation":  weight_i = normalDev_i / dist_i  (:295, the
+        active line) with normalDev_i = min(dot(-normal, normals_i), 0)
+        (getNormalDev, :195-204 — the <= 0 weights are a faithful quirk);
+      variant="best_two":   weight_i = normalTwo_i / dist_i  (:293, the
+        commented "sharper" line) where normalTwo selects the two sensors
+        with the most-negative deviation (getNormalTwo, :221-244).
+
+    Returns (..., 4) rgba with alpha -1 (:300)."""
+    N = colors.shape[0]
+    H, W = depths.shape[1:3]
+    Hc, Wc = colors.shape[1:3]
+    dq4 = _pack_pairs_2d([depths, jnp.zeros_like(depths)])
+    col8 = _pack_pairs_2d(
+        jnp.concatenate([colors, jnp.zeros_like(colors[..., :1])], axis=-1)
+    )
+    nrm8 = _pack_pairs_2d(
+        jnp.concatenate(
+            [normal_maps, jnp.zeros_like(normal_maps[..., :1])], axis=-1
+        )
+    )
+
+    def nearest_rows(vol, pos):
+        D_, H_, W_, C_ = vol.shape
+        xi = jnp.clip((pos[..., 0] * W_).astype(jnp.int32), 0, W_ - 1)
+        yi = jnp.clip((pos[..., 1] * H_).astype(jnp.int32), 0, H_ - 1)
+        zi = jnp.clip((pos[..., 2] * D_).astype(jnp.int32), 0, D_ - 1)
+        return vol.reshape(-1, C_)[(zi * H_ + yi) * W_ + xi]
+
+    devs, dists, cols = [], [], []
+    for i in range(N):
+        if proj_models is not None:
+            uvd = proj_models.uvd(i, world_pos)
+            pos_color = proj_models.color_uv(i, world_pos)
+        else:
+            uvd = nearest_rows(cv_xyz_inv[i], sample_pos)[..., :3]
+            pos_color = nearest_rows(cv_uv[i], uvd)[..., :2]
+        col = _pair_bilinear(col8[i], Hc, Wc, pos_color)[..., :3]
+        depth = _pair_bilinear(dq4[i], H, W, uvd[..., :2])[..., 0]
+        n_i = _pair_bilinear(nrm8[i], H, W, uvd[..., :2])[..., :3]
+        dists.append(jnp.abs(depth - uvd[..., 2]))
+        devs.append(
+            jnp.minimum(jnp.sum(-surf_normal * n_i, axis=-1), 0.0)
+        )
+        cols.append(col)
+    dev = jnp.stack(devs)          # (N, ...)
+    dist = jnp.maximum(jnp.stack(dists), 1e-6)
+    col = jnp.stack(cols)
+
+    if variant == "best_two":
+        # two most-negative deviations get weight 1 (getNormalTwo)
+        order = jnp.argsort(dev, axis=0)
+        sel = (
+            jax.nn.one_hot(order[0], N, axis=0)
+            + jax.nn.one_hot(order[1], N, axis=0)
+        )
+        w = sel / dist
+    else:
+        w = dev / dist
+
+    total_w = jnp.sum(w, axis=0)
+    rgb = jnp.sum(col * w[..., None], axis=0) / jnp.where(
+        jnp.abs(total_w) < 1e-20, 1e-20, total_w
+    )[..., None]
+    # the reference returns alpha -1 unconditionally (:300), but our
+    # colorfill treats alpha <= 0 as a fillable hole (tsdf_inpaint.fs:34),
+    # which would erase every blended hit — mark pixels with an actual
+    # weighted color as valid instead
+    alpha = jnp.where(jnp.abs(total_w) > 1e-12, 1.0, -1.0)
+    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+
+
 def blend_cameras(
     sample_pos: jnp.ndarray,
     cv_xyz_inv: jnp.ndarray,

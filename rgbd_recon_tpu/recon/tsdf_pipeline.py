@@ -388,7 +388,19 @@ class TsdfPipeline:
                 [rgb, jnp.ones_like(rgb[..., :1])], axis=-1
             )
         else:
-            if proj_models is not None:
+            if c.blend_mode in ("normal_deviation", "best_two"):
+                # the reference's blendColors2 variants
+                # (tsdf_raymarch.fs:266-301)
+                rgba = raymarch.blend_colors_normal(
+                    hit_pos, world_pos, grad, proj_models,
+                    calib.cv_xyz_inv, calib.cv_uv, maps.color,
+                    maps.depth[..., 0], maps.normal, c.tsdf_limit,
+                    variant=(
+                        "best_two" if c.blend_mode == "best_two"
+                        else "deviation"
+                    ),
+                )
+            elif proj_models is not None:
                 rgba = raymarch.blend_colors_analytic(
                     world_pos, proj_models, maps.color, maps.depth[..., 0],
                     maps.quality, c.tsdf_limit,
@@ -711,11 +723,14 @@ class TsdfPipeline:
                 )
                 t1_, pt1, pv1, lo_t, hi_t = st
                 unfinished = (~hit) & (t1_ <= se[1]) & (se[1] > 0.0)
-                cap2 = max(-(-R // 4 // 8) * 8, 128)
+                # without the sentinel sphere-tracing (parity mode), far
+                # more rays stay unfinished after phase 1 — give the tail
+                # half the full width instead of a quarter
+                cap2 = max(-(-R // (4 if skip else 2) // 8) * 8, 128)
                 (idx2,) = jnp.nonzero(unfinished, size=cap2, fill_value=R)
                 safe2 = jnp.minimum(idx2, R - 1)
                 len2 = jnp.where(idx2 < R, se[1][safe2], 0.0)
-                hit2, _, num2, st2 = raymarch.march(
+                hit2, hit_pos2, num2, st2 = raymarch.march(
                     packed, cam.eye_vol, dn_f[safe2], c.tsdf_limit,
                     max_steps - p1, (se[0][safe2], len2), mode=c.march_mode,
                     resume=(t1_[safe2], pt1[safe2], pv1[safe2]),
@@ -723,6 +738,7 @@ class TsdfPipeline:
                     return_state=True,
                 )
                 hit = hit.at[idx2].set(hit2, mode="drop")
+                hit_pos = hit_pos.at[idx2].set(hit_pos2, mode="drop")
                 lo_t = lo_t.at[idx2].set(st2[3], mode="drop")
                 hi_t = hi_t.at[idx2].set(st2[4], mode="drop")
                 num = num.at[idx2].add(num2, mode="drop")
@@ -746,10 +762,12 @@ class TsdfPipeline:
             live_h = hit_idx < R
             # secant refinement at the crossing bracket, paid per HIT
             # (trilinear samples — exact for parity mode too: the secant of
-            # the same bracket on the same field)
+            # the same bracket on the same field). Rays whose trilinear
+            # bracket does not confirm the crossing keep the march's own
+            # secant position (the reference's unrefined behavior).
             hp = raymarch.refine_crossing(
                 packed, se[0][safeH], dn_f[safeH], lo_t[safeH], hi_t[safeH],
-                live_h, jnp.zeros((capH, 3), jnp.float32),
+                live_h, hit_pos[safeH],
                 clamp_floor=floor,
             )
 

@@ -172,3 +172,107 @@ def test_holefill_respects_far_side_rule():
     # avg = 0.5 -> only the far (blue) sample survives
     np.testing.assert_allclose(c1[0, 0, :3], [0.0, 0.0, 1.0], atol=1e-6)
     np.testing.assert_allclose(d1[0, 0], 0.8, atol=1e-6)
+
+
+def test_alternative_blend_modes():
+    """blendColors2 variants (tsdf_raymarch.fs:266-301): both produce
+    finite colors at hits; best_two must only mix two sensors' colors."""
+    import dataclasses
+
+    from rgbd_recon_tpu.calib import build_synthetic_calibration
+    from rgbd_recon_tpu.core import PipelineConfig
+    from rgbd_recon_tpu.recon import TsdfPipeline
+    from rgbd_recon_tpu.sensors import (
+        SyntheticScene, default_test_rig, render_rig_frames,
+    )
+
+    bbox = BBOX
+    rig = default_test_rig(num_sensors=3, bbox=bbox)
+    calib = build_synthetic_calibration(rig, bbox, cv_res=(24, 32, 24),
+                                        inv_res=(40, 44, 40))
+    frames = render_rig_frames(
+        SyntheticScene(spheres=[((0.0, 1.1, 0.0), 0.55)]), rig
+    )
+    cfg = PipelineConfig(voxel_size=0.05, brick_size=0.25, tsdf_limit=0.02,
+                         num_lods=4)
+    pipe = TsdfPipeline(calib, cfg, bbox)
+    volume, maps, counts = pipe.fuse(frames)
+    cam = raymarch.ViewCamera(width=64, height=48, eye=(0.0, 1.3, 2.6),
+                              target=(0.0, 1.1, 0.0))
+    base = pipe.make_renderer(cam)(volume, maps, counts)
+    assert np.asarray(base.hit).sum() > 50
+
+    for mode in ("normal_deviation", "best_two"):
+        p2 = TsdfPipeline(calib, dataclasses.replace(cfg, blend_mode=mode),
+                          bbox)
+        out = p2.make_renderer(cam)(volume, maps, counts)
+        img = np.asarray(out.color)
+        assert np.isfinite(img).all(), mode
+        # same surface, different colors than the quality blend
+        np.testing.assert_array_equal(np.asarray(out.hit),
+                                      np.asarray(base.hit))
+
+
+def test_parity_mode_matches_fast_defaults():
+    """The reference-exact toggles (trilinear march, uniform stepping,
+    bilinear integrate taps, phantom_hull, full-res marking) must produce
+    the same surface as the fast defaults to sub-voxel depth RMSE — the
+    documented parity claim as a tested invariant (round-2 verdict #10)."""
+    import dataclasses
+
+    from rgbd_recon_tpu.calib import build_synthetic_calibration
+    from rgbd_recon_tpu.core import PipelineConfig
+    from rgbd_recon_tpu.recon import TsdfPipeline
+    from rgbd_recon_tpu.sensors import (
+        SyntheticScene, default_test_rig, render_rig_frames,
+    )
+
+    bbox = BBOX
+    rig = default_test_rig(num_sensors=3, bbox=bbox)
+    calib = build_synthetic_calibration(rig, bbox, cv_res=(24, 32, 24),
+                                        inv_res=(40, 44, 40))
+    frames = render_rig_frames(
+        SyntheticScene(spheres=[((0.0, 1.1, 0.0), 0.55)]), rig
+    )
+    fast = PipelineConfig(voxel_size=0.025, brick_size=0.125,
+                          tsdf_limit=0.015, num_lods=4)
+    # phantom_hull stays False on both sides: the parity toggle re-creates
+    # the reference's phantom hull WALLS (extra surfaces by design), which
+    # would dominate a fast-vs-exact comparison of the *measured* surface
+    parity = dataclasses.replace(
+        fast, march_mode="trilinear", march_empty_skip=False,
+        integrate_taps="bilinear", mark_stride=1,
+        projection_model=False, surface_skip=False,
+    )
+    cam = raymarch.ViewCamera(width=96, height=80, eye=(0.0, 1.3, 2.6),
+                              target=(0.0, 1.1, 0.0))
+
+    pipe_f = TsdfPipeline(calib, fast, bbox)
+    vf, mf, cf = pipe_f.fuse(frames)
+    of = pipe_f.make_renderer(cam)(vf, mf, cf)
+
+    pipe_p = TsdfPipeline(calib, parity, bbox)
+    vp, mp, cp = pipe_p.fuse(frames)
+    op = pipe_p.make_renderer(cam)(vp, mp, cp)
+
+    hf_, hp_ = np.asarray(of.hit), np.asarray(op.hit)
+    assert hf_.sum() > 100 and hp_.sum() > 100
+    # surfaces agree: strong hit-mask overlap (differences are confined to
+    # the silhouette rim where nearest vs trilinear fields genuinely
+    # disagree at sub-voxel scale) and sub-voxel depth RMSE on common hits
+    both = hf_ & hp_
+    agree = both.sum() / max(hf_.sum(), hp_.sum())
+    assert agree > 0.85, agree
+    from scipy import ndimage
+
+    rim = ndimage.binary_dilation(
+        hf_ ^ ndimage.binary_erosion(hf_, iterations=2), iterations=2
+    )
+    off_rim = (hf_ ^ hp_) & ~rim
+    assert off_rim.sum() <= 0.02 * both.sum(), off_rim.sum()
+    df, dp = np.asarray(of.depth), np.asarray(op.depth)
+    diff = np.abs(df[both] - dp[both])
+    # window depth spans [0,1] over [0.1, 20] m; ~0.004 window units at the
+    # surface distance ~ one voxel at this test scale. A few hull-edge
+    # pixels cross at genuinely different bricks — bound the bulk.
+    assert np.quantile(diff, 0.9) < 0.004, np.quantile(diff, 0.9)
