@@ -176,49 +176,96 @@ def cmd_run(args):
 
         ckpt_mgr = CheckpointManager(args.checkpoint_dir)
 
-    # frame source: .stream replay or synthetic fallback
-    def frame_iter():
-        if args.streams:
-            from .io.stream import StreamReader
+    # frame source: ZMQ stream, .stream replay, or synthetic fallback —
+    # all pumped through FrameFeed so host decode overlaps the device step
+    # (the reference's recv-thread + double-PBO overlap,
+    # NetKinectArray.cpp:226-238 + double_pixel_buffer.cpp)
+    from .io.feed import FrameFeed
+    from .io.stream import FrameCompression
 
-            # stream sizes must match --depth-size/--color-size
-            readers = []
-            sdirs = sorted(Path(args.streams).glob("*.stream"))
-            if len(sdirs) < num_sensors:
-                raise FileNotFoundError(
-                    f"need {num_sensors} .stream files in {args.streams}"
-                )
-            for p in sdirs[:num_sensors]:
-                readers.append(
-                    StreamReader(p, depth_size=tuple(args.depth_size),
-                                 color_size=tuple(args.color_size))
-                )
-            t = 0.0
-            while True:
-                colors, depths = [], []
-                for r in readers:
-                    c, d = r.read_frame()
-                    colors.append(c)
-                    depths.append(d)
-                yield t, np.stack(colors), np.stack(depths)
-                t += 1.0 / 30.0
-        else:
-            from .sensors.synthetic import SyntheticScene, default_test_rig, render_rig_frames
+    compression = None
+    if args.stream_compression != "raw" or args.stream_depth_u8:
+        compression = FrameCompression(
+            rgb={"raw": 0, "dxt1": 1, "dxt5": 5}[args.stream_compression],
+            depth_u8=args.stream_depth_u8,
+        )
+    else:
+        # per-sensor compression flags from the calibration files, like the
+        # reference sizing its buffers from isCompressedRGB/Depth
+        # (NetKinectArray.cpp:120-144)
+        base = Path(scene.base_dir)
+        for name in scene.calib_files:
+            yml = base / name
+            if yml.exists():
+                from .calib.kinect_yml import parse_kinect_yml
 
-            rig = default_test_rig(
-                num_sensors=num_sensors,
-                depth_size=tuple(args.depth_size),
-                color_size=tuple(args.color_size),
-                bbox=scene.bbox,
+                cal = parse_kinect_yml(yml)
+                if cal.compressed_rgb or cal.compressed_depth:
+                    compression = FrameCompression.from_calibration(cal)
+                    print(f"wire compression from {name}: {compression}",
+                          file=sys.stderr)
+                break
+
+    zmq_source = None
+    if args.zmq:
+        from .io.network import ZmqFrameSource
+
+        zmq_source = ZmqFrameSource(
+            args.zmq, num_sensors, depth_size=tuple(args.depth_size),
+            color_size=tuple(args.color_size), endpoint_slave=args.zmq_slave,
+            compression=compression,
+        )
+        source = zmq_source.latest
+    elif args.streams:
+        from .io.stream import StreamReader
+
+        # stream sizes must match --depth-size/--color-size
+        readers = []
+        sdirs = sorted(Path(args.streams).glob("*.stream"))
+        if len(sdirs) < num_sensors:
+            raise FileNotFoundError(
+                f"need {num_sensors} .stream files in {args.streams}"
             )
-            t = 0.0
-            while True:
-                sc = SyntheticScene(
-                    spheres=[((0.25 * np.sin(t), 1.1, 0.25 * np.cos(t)), 0.55)]
-                )
-                fr = render_rig_frames(sc, rig, t)
-                yield t, np.asarray(fr.colors), np.asarray(fr.depths)
-                t += 1.0 / 30.0
+        for p in sdirs[:num_sensors]:
+            readers.append(
+                StreamReader(p, depth_size=tuple(args.depth_size),
+                             color_size=tuple(args.color_size),
+                             compression=compression)
+            )
+        clock = [0.0]
+
+        def source():
+            colors, depths = [], []
+            for r in readers:
+                c, d = r.read_frame()
+                colors.append(c)
+                depths.append(d)
+            ts = clock[0]
+            clock[0] += 1.0 / 30.0
+            return ts, np.stack(colors), np.stack(depths)
+    else:
+        from .sensors.synthetic import (
+            SyntheticScene, default_test_rig, render_rig_frames,
+        )
+
+        rig = default_test_rig(
+            num_sensors=num_sensors,
+            depth_size=tuple(args.depth_size),
+            color_size=tuple(args.color_size),
+            bbox=scene.bbox,
+        )
+        clock = [0.0]
+
+        def source():
+            t = clock[0]
+            clock[0] += 1.0 / 30.0
+            sc = SyntheticScene(
+                spheres=[((0.25 * np.sin(t), 1.1, 0.25 * np.cos(t)), 0.55)]
+            )
+            fr = render_rig_frames(sc, rig, t)
+            return t, np.asarray(fr.colors), np.asarray(fr.depths)
+
+    feed = FrameFeed(source)
 
     db = TimerDatabase()
     import jax.numpy as jnp
@@ -232,15 +279,16 @@ def cmd_run(args):
             start_frame = resumed.frame_index
             print(f"resuming at frame {start_frame}", file=sys.stderr)
 
-    for ts, colors, depths in frame_iter():
+    while True:
         if args.frames and n_done >= args.frames:
             break
         if config.time_limit and time.time() - start > config.time_limit:
             break
-        frames = FrameSet(
-            colors=jnp.asarray(colors), depths=jnp.asarray(depths),
-            timestamp=jnp.asarray(np.float32(ts)),
-        )
+        frames = feed.get(timeout=10.0)
+        if frames is None:
+            print("frame source idle; stopping", file=sys.stderr)
+            break
+        ts = float(np.asarray(frames.timestamp))
         with db.time("1preprocess+2integrate"):
             volume, maps, counts = pipe.fuse(frames)
             jax.block_until_ready(volume)
@@ -271,11 +319,30 @@ def cmd_run(args):
                 timestamp=float(ts),
                 config_json=config_to_json(config),
             ))
+        if n_done % 10 == 1 and config.recon_mode == 1:
+            # capacity-overflow observability: warn the moment a fixed
+            # capacity drops geometry (round-2 advisor finding)
+            diag = pipe.diagnostics(counts)
+            if diag.get("bricks_dropped", 0):
+                print(
+                    f"WARNING: {diag['bricks_dropped']} occupied bricks "
+                    f"beyond brick_capacity={diag['brick_capacity']} were "
+                    "dropped — raise PipelineConfig.brick_capacity",
+                    file=sys.stderr,
+                )
         print(f"frame {n_done} t={ts:.2f}", file=sys.stderr)
 
+    produced = feed.frames_produced
+    feed.close()
+    if zmq_source is not None:
+        zmq_source.close()
     csv_text = db.write_csv(out_dir / "timings.csv")
     print(csv_text, file=sys.stderr)
-    print(f"processed {n_done} frames -> {out_dir}")
+    dropped = max(0, produced - n_done)
+    print(
+        f"processed {n_done} frames ({dropped} dropped to keep latest) -> "
+        f"{out_dir}"
+    )
 
 
 def cmd_invert(args):
@@ -313,10 +380,18 @@ def cmd_record(args):
         depth_size=tuple(args.depth_size), color_size=tuple(args.color_size),
         bbox=bbox,
     )
+    from .io.stream import FrameCompression
+
+    compression = FrameCompression(
+        rgb={"raw": 0, "dxt1": 1, "dxt5": 5}[args.compress],
+        depth_u8=args.compress_depth_u8,
+        near=rig.sensors[0].depth.near, far=rig.sensors[0].depth.far,
+    )
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     writers = [
-        StreamWriter(out / f"{s.serial or f'sensor{i}'}.stream")
+        StreamWriter(out / f"{s.serial or f'sensor{i}'}.stream",
+                     compression=compression)
         for i, s in enumerate(rig.sensors)
     ]
     for f in range(args.frames):
@@ -344,6 +419,16 @@ def main(argv=None):
     pr.add_argument("scene", help=".ks scene file")
     pr.add_argument("--conf", help=".conf settings file")
     pr.add_argument("--streams", help="directory of .stream recordings")
+    pr.add_argument("--zmq", default=None,
+                    help="ZMQ SUB endpoint for live frames, e.g. "
+                         "tcp://127.0.0.1:7000 (master)")
+    pr.add_argument("--zmq-slave", default=None,
+                    help="secondary ZMQ endpoint (stream-slot switch)")
+    pr.add_argument("--stream-compression", default="raw",
+                    choices=["raw", "dxt1", "dxt5"],
+                    help="wire color encoding of --streams/--zmq frames")
+    pr.add_argument("--stream-depth-u8", action="store_true",
+                    help="wire depth is uint8 sqrt-compressed")
     pr.add_argument("--frames", type=int, default=10)
     pr.add_argument("--mode", type=int, default=None,
                     help="recon mode override (0 points, 1 tsdf, 2 trigrid, "
@@ -377,6 +462,11 @@ def main(argv=None):
     pc.add_argument("--sensors", type=int, default=4)
     pc.add_argument("--depth-size", type=int, nargs=2, default=(128, 106))
     pc.add_argument("--color-size", type=int, nargs=2, default=(160, 128))
+    pc.add_argument("--compress", default="raw",
+                    choices=["raw", "dxt1", "dxt5"],
+                    help="color wire encoding of the recorded streams")
+    pc.add_argument("--compress-depth-u8", action="store_true",
+                    help="record uint8 sqrt-compressed depth")
     pc.set_defaults(fn=cmd_record)
 
     args = p.parse_args(argv)

@@ -69,6 +69,17 @@ class KinectCalibration:
     far: float = 4.5
     compressed_rgb: int = 0
     compressed_depth: bool = False
+    # secondary/tertiary world poses (.ext2/.ext3 sidecars — parsed by the
+    # reference for alternative tracking frames, KinectCalibrationFile.cpp
+    # :416-520; identity/zero when absent like the reference's defaults)
+    world_translation2: np.ndarray = None
+    world_rotation2: np.ndarray = None
+    world_translation3: np.ndarray = None
+    world_rotation3: np.ndarray = None
+    # .local sidecar: local transform as translation xyz + Euler rotation
+    # rx ry rz in degrees (loadLocalTransform, :779-795)
+    local_translation: np.ndarray = None
+    local_rotation_deg: np.ndarray = None
     min_length: float = 0.0125             # :96
     world_rotation: np.ndarray = None      # (3,3) from .ext
     world_translation: np.ndarray = None   # (3,)
@@ -179,6 +190,25 @@ def parse_kinect_yml(path) -> KinectCalibration:
         if len(vals) >= 12:
             cal.world_translation = np.asarray(vals[:3], np.float64)
             cal.world_rotation = np.asarray(vals[3:12], np.float64).reshape(3, 3)
+    for suffix, t_attr, r_attr in (
+        (".ext2", "world_translation2", "world_rotation2"),
+        (".ext3", "world_translation3", "world_rotation3"),
+    ):
+        side = path.with_suffix(suffix)
+        if side.exists():
+            vals = [float(m.group()) for m in _NUM_RE.finditer(side.read_text())]
+            if len(vals) >= 12:
+                setattr(cal, t_attr, np.asarray(vals[:3], np.float64))
+                setattr(
+                    cal, r_attr,
+                    np.asarray(vals[3:12], np.float64).reshape(3, 3),
+                )
+    local = path.with_suffix(".local")
+    if local.exists():
+        vals = [float(m.group()) for m in _NUM_RE.finditer(local.read_text())]
+        if len(vals) >= 6:
+            cal.local_translation = np.asarray(vals[0:3], np.float64)
+            cal.local_rotation_deg = np.asarray(vals[3:6], np.float64)
     serial = path.with_suffix(".serial")
     if serial.exists():
         cal.serial = serial.read_text().strip()

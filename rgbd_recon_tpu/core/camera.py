@@ -19,9 +19,14 @@ import numpy as np
 
 @dataclasses.dataclass(frozen=True)
 class PinholeCamera:
-    """Simple pinhole intrinsics + world pose (no distortion by default;
-    distortion coefficients are accepted for calibration-file parity but the
-    baked-volume design means they only matter at bake time)."""
+    """Pinhole intrinsics + world pose + Brown-Conrady distortion.
+
+    Distortion coefficients (k1, k2, p1, p2, k3) follow the OpenCV layout of
+    the reference's .yml files (rgb_distortion/depth_distortion,
+    KinectCalibrationFile.cpp:196-230) and are APPLIED in project/unproject
+    — since all runtime projections go through baked calibration volumes,
+    this is exactly where distortion must enter: at bake time
+    (calib/bake.py), like the upstream rgbd-calib baking pipeline."""
 
     width: int
     height: int
@@ -55,17 +60,49 @@ class PinholeCamera:
         """Camera center in world space."""
         return self.t
 
+    @property
+    def has_distortion(self) -> bool:
+        return any(abs(d) > 1e-12 for d in self.distortion)
+
+    def _distort(self, x: np.ndarray, y: np.ndarray):
+        """Normalized image coords -> distorted (Brown-Conrady, the OpenCV
+        model of the reference's calibration files)."""
+        k1, k2, p1, p2, k3 = (list(self.distortion) + [0.0] * 5)[:5]
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        return xd, yd
+
+    def _undistort(self, xd: np.ndarray, yd: np.ndarray, iters: int = 5):
+        """Inverse of :meth:`_distort` by fixed-point iteration (the usual
+        OpenCV undistortPoints scheme; converges in a few steps for
+        realistic coefficients)."""
+        x, y = xd.copy(), yd.copy()
+        k1, k2, p1, p2, k3 = (list(self.distortion) + [0.0] * 5)[:5]
+        for _ in range(iters):
+            r2 = x * x + y * y
+            radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+            dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+            dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+            x = (xd - dx) / radial
+            y = (yd - dy) / radial
+        return x, y
+
     def unproject(self, uv: np.ndarray, depth: np.ndarray) -> np.ndarray:
         """Normalized texture coords (...,2) in [0,1] + metric depth (...) ->
         world positions (...,3). Texel centers: pixel (i,j) maps to
-        ((i+0.5)/W, (j+0.5)/H)."""
+        ((i+0.5)/W, (j+0.5)/H). Pixel coords are DISTORTED image positions;
+        the ray direction comes from the undistorted normalized coords."""
         uv = np.asarray(uv, np.float32)
         depth = np.asarray(depth, np.float32)
         px = uv[..., 0] * self.width - 0.5
         py = uv[..., 1] * self.height - 0.5
-        x = (px - self.cx) / self.fx * depth
-        y = (py - self.cy) / self.fy * depth
-        cam = np.stack([x, y, depth], axis=-1)
+        xn = (px - self.cx) / self.fx
+        yn = (py - self.cy) / self.fy
+        if self.has_distortion:
+            xn, yn = self._undistort(xn, yn)
+        cam = np.stack([xn * depth, yn * depth, depth], axis=-1)
         return cam @ self.R.T + self.t
 
     def project(self, world: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -75,8 +112,12 @@ class PinholeCamera:
         cam = (world - self.t) @ self.R
         z = cam[..., 2]
         safe_z = np.where(np.abs(z) < 1e-9, 1e-9, z)
-        px = cam[..., 0] / safe_z * self.fx + self.cx
-        py = cam[..., 1] / safe_z * self.fy + self.cy
+        xn = cam[..., 0] / safe_z
+        yn = cam[..., 1] / safe_z
+        if self.has_distortion:
+            xn, yn = self._distort(xn, yn)
+        px = xn * self.fx + self.cx
+        py = yn * self.fy + self.cy
         u = (px + 0.5) / self.width
         v = (py + 0.5) / self.height
         return np.stack([u, v], axis=-1), z

@@ -169,6 +169,17 @@ def decode_dxt5(data: bytes, width: int, height: int) -> np.ndarray:
     ).astype(np.uint8)
 
 
+def encode_dxt5_opaque(rgb: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> DXT5 bytes with a constant-255 alpha channel
+    (sufficient for the color wire format — the reference's DXT5 frames
+    carry opaque video). Alpha block: a0=255, a1=0, all indices 0."""
+    h, w = rgb.shape[:2]
+    color = np.frombuffer(encode_dxt1(rgb), np.uint8).reshape(-1, 8)
+    alpha = np.zeros((color.shape[0], 8), np.uint8)
+    alpha[:, 0] = 255
+    return np.concatenate([alpha, color], axis=1).tobytes()
+
+
 # ---------------------------------------------------------------------------
 # 8-bit depth compression (sqrt mapping)
 # ---------------------------------------------------------------------------

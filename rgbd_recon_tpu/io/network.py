@@ -35,13 +35,19 @@ class ZmqFrameSource:
         depth_size: Tuple[int, int],
         color_size: Tuple[int, int],
         endpoint_slave: Optional[str] = None,
+        compression=None,
     ):
         import zmq
+
+        from .stream import RAW
 
         self.num_sensors = num_sensors
         self.depth_size = depth_size
         self.color_size = color_size
-        self.color_bytes, self.depth_bytes = frame_wire_size(depth_size, color_size)
+        self.compression = compression or RAW
+        self.color_bytes, self.depth_bytes = frame_wire_size(
+            depth_size, color_size, self.compression
+        )
         self._ctx = zmq.Context.instance()
         self._endpoints = [endpoint_master, endpoint_slave or endpoint_master]
         self.stream_slot = 0
@@ -87,17 +93,23 @@ class ZmqFrameSource:
         if msg is None:
             return None
         (ts,) = struct.unpack_from("<d", msg, 0)
+        from .stream import decode_color, decode_depth
+
         cw, ch = self.color_size
         dw, dh = self.depth_size
         colors = np.empty((self.num_sensors, ch, cw, 3), np.float32)
         depths = np.empty((self.num_sensors, dh, dw), np.float32)
         off = 8
         for i in range(self.num_sensors):
-            c = np.frombuffer(msg, np.uint8, self.color_bytes, off)
-            colors[i] = c.reshape(ch, cw, 3).astype(np.float32) / 255.0
+            colors[i] = decode_color(
+                msg[off: off + self.color_bytes], self.color_size,
+                self.compression,
+            )
             off += self.color_bytes
-            d = np.frombuffer(msg, "<f4", dw * dh, off)
-            depths[i] = d.reshape(dh, dw)
+            depths[i] = decode_depth(
+                msg[off: off + self.depth_bytes], self.depth_size,
+                self.compression,
+            )
             off += self.depth_bytes
         return ts, colors, depths
 

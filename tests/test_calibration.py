@@ -195,3 +195,53 @@ def test_build_lookup_volume_shape_and_values():
     assert vol.shape == (4, 6, 8, 1)
     # texel at x-center ~0.5+ should carry ~2*x
     assert abs(vol[2, 3, 4, 0] - 2.0 * (4.5 / 8)) < 0.1
+
+
+def test_sidecar_ext2_ext3_local(tmp_path):
+    """.ext2/.ext3 secondary poses and .local transform sidecars parse like
+    the reference (KinectCalibrationFile.cpp:416-520, 779-795)."""
+    from rgbd_recon_tpu.calib.kinect_yml import parse_kinect_yml
+
+    yml = tmp_path / "k.yml"
+    yml.write_text(
+        "rgb_intrinsics: 500 0 320 0 500 240 0 0 1\n"
+        "depth_intrinsics: 400 0 256 0 400 212 0 0 1\n"
+        "near_far: 0.5 4.5\n"
+    )
+    (tmp_path / "k.ext2").write_text(
+        "1 2 3  1 0 0 0 1 0 0 0 1")
+    (tmp_path / "k.ext3").write_text(
+        "4 5 6  0 1 0 1 0 0 0 0 1")
+    (tmp_path / "k.local").write_text("0.1 0.2 0.3 10 20 30")
+    cal = parse_kinect_yml(yml)
+    np.testing.assert_allclose(cal.world_translation2, [1, 2, 3])
+    np.testing.assert_allclose(cal.world_rotation2, np.eye(3))
+    np.testing.assert_allclose(cal.world_translation3, [4, 5, 6])
+    np.testing.assert_allclose(cal.local_translation, [0.1, 0.2, 0.3])
+    np.testing.assert_allclose(cal.local_rotation_deg, [10, 20, 30])
+
+
+def test_distortion_applied_at_bake():
+    """Brown-Conrady distortion enters through project/unproject and hence
+    the baked volumes (round-2 verdict #6): project o unproject is identity
+    to sub-pixel, and a distorted bake differs from the undistorted one."""
+    from rgbd_recon_tpu.calib.bake import bake_cv_xyz
+    from rgbd_recon_tpu.core.camera import PinholeCamera, RGBDSensor
+
+    base = dict(width=64, height=48, fx=60.0, fy=60.0, cx=32.0, cy=24.0,
+                t_cw=(0.0, 1.0, 2.0), near=0.5, far=4.5)
+    cam0 = PinholeCamera(**base)
+    cam1 = PinholeCamera(**base, distortion=(-0.2, 0.05, 0.001, -0.002, 0.0))
+
+    rng = np.random.default_rng(3)
+    uv = rng.uniform(0.15, 0.85, (500, 2)).astype(np.float32)
+    depth = rng.uniform(1.0, 3.0, (500,)).astype(np.float32)
+    for cam in (cam0, cam1):
+        world = cam.unproject(uv, depth)
+        uv2, z2 = cam.project(world)
+        np.testing.assert_allclose(uv2, uv, atol=2e-4)
+        np.testing.assert_allclose(z2, depth, rtol=1e-5)
+
+    v0 = np.asarray(bake_cv_xyz(RGBDSensor(depth=cam0, color=cam0), (16, 16, 8)))
+    v1 = np.asarray(bake_cv_xyz(RGBDSensor(depth=cam1, color=cam1), (16, 16, 8)))
+    assert np.abs(v0 - v1).max() > 0.01  # distortion visibly shifts rays
