@@ -319,6 +319,17 @@ def cmd_run(args):
                 timestamp=float(ts),
                 config_json=config_to_json(config),
             ))
+        if (args.refine_every and config.recon_mode == 1
+                and n_done % args.refine_every == args.refine_every - 1):
+            # sensor-pose drift correction: estimate 6-DoF corrections
+            # against the leave-one-out consensus and fold them into the
+            # calibration for all subsequent frames
+            poses, _ = pipe.refine_sensor_poses(maps, counts)
+            norms = np.linalg.norm(np.asarray(poses)[:, 3:], axis=1)
+            print(
+                f"refined sensor poses; translation corrections (mm): "
+                f"{np.round(norms * 1000, 2)}", file=sys.stderr,
+            )
         if n_done % 10 == 1 and config.recon_mode == 1:
             # capacity-overflow observability: warn the moment a fixed
             # capacity drops geometry (round-2 advisor finding)
@@ -429,6 +440,9 @@ def main(argv=None):
                     help="wire color encoding of --streams/--zmq frames")
     pr.add_argument("--stream-depth-u8", action="store_true",
                     help="wire depth is uint8 sqrt-compressed")
+    pr.add_argument("--refine-every", type=int, default=0,
+                    help="run sensor-pose refinement every N frames and "
+                         "apply the corrections (0 = off)")
     pr.add_argument("--frames", type=int, default=10)
     pr.add_argument("--mode", type=int, default=None,
                     help="recon mode override (0 points, 1 tsdf, 2 trigrid, "

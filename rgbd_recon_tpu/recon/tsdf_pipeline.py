@@ -305,6 +305,76 @@ class TsdfPipeline:
         pm = self._get_pixel_models(frames.depths.shape[1:3])
         return self._fuse(self.calib, self.projections, pm, frames)
 
+    def update_calibration(self, calib: CalibrationSet) -> None:
+        """Swap in a new calibration set (e.g. pose-refined by
+        refine.pose_ba.apply_pose_corrections) and re-bake everything
+        derived from it. Shapes are unchanged, so the jitted step functions
+        do NOT recompile — only the baked projection/model arrays refresh
+        (sub-second)."""
+        self.calib = calib
+        if self.compact:
+            self.projections = tsdf.bake_projections_bricks(
+                calib.cv_xyz_inv, self.volume_grid.shape, self.brick_vox
+            )
+        elif self.config.precompute_projections:
+            self.projections = tsdf.bake_projections(
+                calib.cv_xyz_inv, self.volume_grid.shape
+            )
+        self._pixel_models_cache = {}
+        if hasattr(self, "_projection_models"):
+            del self._projection_models
+
+    def refine_sensor_poses(self, maps: SensorMaps, brick_counts,
+                            iters: int = 5, apply: bool = True,
+                            rounds: int = 1, frames: FrameSet = None,
+                            worst_only: bool = True):
+        """Estimate per-sensor 6-DoF corrections against the leave-one-out
+        consensus surfaces and (optionally) apply them to the calibration —
+        the full drift-correction loop (north-star capability; the
+        reference trusts its offline calibration and shows drift as doubled
+        surfaces).
+
+        ``rounds`` > 1 alternates refine -> apply -> re-fuse (pass
+        ``frames``): a misaligned sensor contaminates the others'
+        leave-one-out consensus, so one shot is biased; alternating
+        minimization converges.
+
+        ``worst_only`` applies only the correction of the sensor with the
+        highest consensus residual each round. For the typical failure
+        (ONE sensor drifted), this is the well-posed form: the outlier is
+        aligned against the mutually-consistent others, while correcting
+        everyone at once lets the outlier's contamination and the rig-wide
+        gauge smear corrections across good sensors.
+
+        Returns (poses of the LAST round (N, 6), residual history)."""
+        from ..refine import pose_ba
+
+        poses = history = None
+        for r in range(max(rounds, 1)):
+            vols = pose_ba.leave_one_out_volumes(self, maps, brick_counts)
+            poses, history = pose_ba.refine_poses(
+                self.calib, maps, None, self.config.tsdf_limit, iters=iters,
+                volumes=vols,
+            )
+            if worst_only:
+                res = pose_ba.pose_residual_stats(
+                    self.calib, maps, None, self.config.tsdf_limit,
+                    volumes=vols,
+                )
+                worst = jnp.argmax(res)
+                sel = (jnp.arange(poses.shape[0]) == worst)[:, None]
+                poses = jnp.where(sel, poses, 0.0)
+            if not apply:
+                break
+            self.update_calibration(
+                pose_ba.apply_pose_corrections(self.calib, poses)
+            )
+            if r + 1 < rounds:
+                if frames is None:
+                    break
+                _, maps, brick_counts = self.fuse(frames)
+        return poses, history
+
     def diagnostics(self, brick_counts: jnp.ndarray,
                     render_out: "RenderOutput" = None) -> dict:
         """Host-side overflow/occupancy report for one frame: occupied brick
@@ -849,7 +919,6 @@ class TsdfPipeline:
         pass ``camera=`` per call to move the view."""
         render, cam0 = self.make_render_fn(camera, max_steps)
         inner = jax.jit(render) if jit_compile else render
-        pm = self._get_projection_models()
 
         def renderer(volume, maps: SensorMaps, brick_counts=None,
                      camera_pose: raymarch.ViewCamera = None):
@@ -857,6 +926,10 @@ class TsdfPipeline:
                 CamParams.from_camera(camera_pose, self.bbox)
                 if camera_pose is not None else cam0
             )
+            # calib + models resolved per call so update_calibration()
+            # (pose refinement, runtime reconfig) takes effect without
+            # rebuilding renderers
+            pm = self._get_projection_models()
             return inner(volume, maps, brick_counts, self.calib, cam, pm)
 
         return renderer

@@ -15,7 +15,7 @@ built as reductions over pixels (J^T W J, J^T W r). Under the device mesh
 — the Schur-style reduce-then-solve pattern over collectives; the solve
 itself is a trivial 6x6 on every chip.
 
-All Jacobians come from `jax.jacrev` through the trilinear TSDF sampling —
+All Jacobians come from `jax.jacfwd` through the trilinear TSDF sampling —
 the whole pipeline is differentiable, so this module is ~100 lines instead
 of hand-derived derivative code.
 """
@@ -51,9 +51,14 @@ def _rodrigues(w: jnp.ndarray) -> jnp.ndarray:
 
 def apply_pose(params: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     """params (6,) = [rotation vector (3), translation (3)] applied to world
-    points (..., 3)."""
+    points (..., 3). Full matmul precision: the TPU's default bf16 matmuls
+    would add millimeter-scale noise to every transformed point — larger
+    than the alignment signal being optimized."""
     R = _rodrigues(params[:3])
-    return points @ R.T + params[3:]
+    return (
+        jnp.matmul(points, R.T, precision=jax.lax.Precision.HIGHEST)
+        + params[3:]
+    )
 
 
 def _surface_points(calib, maps, sensor: int, stride: int = 1):
@@ -91,7 +96,9 @@ def _normal_equations(params, pts, w, volume, bbox_min, bbox_size, limit):
         return r, mask
 
     r, mask = resid_fn(params)
-    J = jax.jacrev(lambda p: resid_fn(p)[0])(params)  # (P, 6)
+    # forward-mode: 6 JVPs for the (P, 6) Jacobian — reverse mode would run
+    # one VJP per residual (P of them)
+    J = jax.jacfwd(lambda p: resid_fn(p)[0])(params)  # (P, 6)
     wm = jnp.where(mask, w, 0.0)
     JtWJ = J.T @ (J * wm[:, None])
     JtWr = J.T @ (r * wm)
@@ -139,12 +146,18 @@ def refine_poses(
     damping: float = 1e-4,
     stride: int = 2,
     volumes: jnp.ndarray = None,
+    anchor: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Estimate per-sensor pose corrections against the fused TSDF.
 
     Pass ``volumes`` (N, Z, Y, X) from :func:`leave_one_out_volumes` to
     align each sensor against the other sensors' consensus surface (the
     well-posed form); ``volume`` alone aligns against the joint volume.
+
+    ``anchor`` removes the common (gauge) motion from the corrections.
+    Off by default: the zero-correction prior in the solver already pins
+    the gauge (and unobserved directions), and mean-subtraction smears a
+    single bad sensor's correction across the good ones.
 
     Returns (poses (N, 6), per-iteration mean abs residual (iters, N)).
     """
@@ -163,23 +176,149 @@ def refine_poses(
         volume, (N,) + volume.shape
     )
 
-    def one_iter(poses):
-        def per_sensor(params, p, w, vol):
+    def active_mask(params, p, w, vol):
+        moved = apply_pose(params, p)
+        r = _tsdf_at(vol, bbox_min, bbox_size, moved)
+        return (jnp.abs(r) < limit * 0.999) & (w > 0.0)
+
+    def masked_cost(params, p, w, vol, mask):
+        """Cost over a FROZEN active set, with off-band escapes clamped at
+        the band limit. Freezing the set per LM step closes the two
+        degenerate escapes observed at reference scale: (a) 'improving' by
+        pushing points out of the band so they drop from the cost, and
+        (b) unobserved (-limit 'unknown') regions — never in the active
+        set — dragging weakly-covered sensors around."""
+        moved = apply_pose(params, p)
+        r = _tsdf_at(vol, bbox_min, bbox_size, moved)
+        rc = jnp.minimum(jnp.abs(r), limit)
+        wm = w * mask
+        return jnp.sum(wm * rc * rc) / jnp.maximum(jnp.sum(wm), 1e-20)
+
+    masks_f = jax.jit(jax.vmap(active_mask))
+    costs_f = jax.jit(jax.vmap(masked_cost))
+
+    @jax.jit
+    def candidates(poses, lam):
+        def per_sensor(params, p, w, vol, lam_i):
             JtWJ, JtWr, res = _normal_equations(
                 params, p, w, vol, bbox_min, bbox_size, limit
             )
-            A = JtWJ + damping * jnp.eye(6) * (1.0 + jnp.diag(JtWJ))
-            delta = jnp.linalg.solve(A, JtWr)
-            return params - delta, res
+            # Marquardt scaling: damp RELATIVE to each parameter's own
+            # curvature (+ a floor tied to the mean curvature) — absolute
+            # damping left the surface-tangent null directions of the
+            # point-to-TSDF objective nearly free, and well-aligned
+            # sensors walked millimeters per step on residual noise
+            d = jnp.diag(JtWJ)
+            # zero-correction prior: the point-to-TSDF objective has
+            # near-null directions (translation along the surface,
+            # rotation about poorly-constrained axes) where small
+            # systematic residuals slide the pose millimeters per step.
+            # A Tikhonov pull toward zero correction pins those
+            # directions while leaving well-observed ones (curvature >>
+            # mean) essentially free.
+            mu = 0.05 * jnp.mean(d)
+            A = (JtWJ + lam_i * (jnp.diag(d) + jnp.mean(d) * jnp.eye(6))
+                 + mu * jnp.eye(6))
+            delta = jnp.linalg.solve(A, JtWr + mu * params)
+            # per-iteration trust region: <= ~0.6 deg / 10 mm
+            rot_n = jnp.linalg.norm(delta[:3])
+            tr_n = jnp.linalg.norm(delta[3:])
+            scale = jnp.minimum(
+                1.0,
+                jnp.minimum(0.01 / jnp.maximum(rot_n, 1e-12),
+                            0.010 / jnp.maximum(tr_n, 1e-12)),
+            )
+            return params - delta * scale, res
 
-        return jax.vmap(per_sensor)(poses, pts, ws, vols)
+        return jax.vmap(per_sensor)(poses, pts, ws, vols, lam)
 
+    # Levenberg-Marquardt: per-sensor adaptive damping with accept/reject
+    # on the frozen-active-set cost
     poses = jnp.zeros((N, 6), jnp.float32)
+    lam = jnp.full((N,), jnp.maximum(damping, 1e-2), jnp.float32)
     history = []
     for _ in range(iters):
-        poses, res = one_iter(poses)
+        mask = masks_f(poses, pts, ws, vols)
+        cand, res = candidates(poses, lam)
+        c_old = costs_f(poses, pts, ws, vols, mask)
+        c_new = costs_f(cand, pts, ws, vols, mask)
+        better = c_new < c_old
+        poses = jnp.where(better[:, None], cand, poses)
+        lam = jnp.clip(
+            jnp.where(better, lam * 0.3, lam * 10.0), 1e-6, 1e3
+        )
         history.append(res)
+    if anchor:
+        # project out the rig-wide gauge motion (small-angle composition:
+        # subtracting the mean rotation vector / translation is exact to
+        # first order, and corrections are small by construction)
+        poses = poses - jnp.mean(poses, axis=0, keepdims=True)
     return poses, jnp.stack(history)
+
+
+def apply_pose_corrections(calib, poses: jnp.ndarray):
+    """Compose per-sensor 6-DoF corrections into the calibration set —
+    closing the refinement loop so the NEXT frame's integration and
+    rendering use the aligned poses.
+
+    The forward volume cv_xyz maps (u, v, d) -> world, so its points
+    transform directly: world' = R world + t. The color map cv_uv lives in
+    sensor space (unchanged). The inverse volume cv_xyz_inv maps world ->
+    sensor, so it is RESAMPLED at the inversely-transformed grid:
+    cv_xyz_inv'(p) = cv_xyz_inv(R^T (p - t)) — a trilinear warp of the
+    (N, Z, Y, X, 4) grid, one-off cost comparable to a render.
+
+    Returns a new CalibrationSet; feed it to TsdfPipeline.update_calibration
+    (same shapes -> no recompilation, projections re-bake from the warped
+    volumes)."""
+    from ..calib.sensors import CalibrationSet
+
+    N = calib.cv_xyz.shape[0]
+    bbox_min = calib.bbox_min
+    bbox_size = calib.bbox_max - calib.bbox_min
+
+    @jax.jit
+    def go(calib, poses):
+        Rs = jnp.stack([_rodrigues(poses[i, :3]) for i in range(N)])
+        ts = poses[:, 3:]
+        # full-precision matmuls: the TPU's default bf16 matmul precision
+        # would put ~millimeter errors into every calibration coordinate
+        cv_xyz = (
+            jnp.einsum("nij,ndhwj->ndhwi", Rs, calib.cv_xyz,
+                       precision=jax.lax.Precision.HIGHEST)
+            + ts[:, None, None, None, :]
+        )
+        campos = jnp.einsum("nij,nj->ni", Rs, calib.camera_positions,
+                            precision=jax.lax.Precision.HIGHEST) + ts
+
+        Zi, Yi, Xi = calib.cv_xyz_inv.shape[1:4]
+        zi = (jnp.arange(Zi, dtype=jnp.float32) + 0.5) / Zi
+        yi = (jnp.arange(Yi, dtype=jnp.float32) + 0.5) / Yi
+        xi = (jnp.arange(Xi, dtype=jnp.float32) + 0.5) / Xi
+        zz, yy, xx = jnp.meshgrid(zi, yi, xi, indexing="ij")
+        p_world = (
+            jnp.stack([xx, yy, zz], axis=-1) * bbox_size + bbox_min
+        )
+
+        def warp(inv, R, t):
+            q = jnp.matmul(p_world - t, R,
+                           precision=jax.lax.Precision.HIGHEST)  # R^T (p-t)
+            q_norm = (q - bbox_min) / bbox_size
+            return trilinear_3d(inv, q_norm)
+
+        cv_xyz_inv = jax.vmap(warp)(calib.cv_xyz_inv, Rs, ts)
+        return cv_xyz, campos, cv_xyz_inv
+
+    cv_xyz, campos, cv_xyz_inv = go(calib, poses)
+    return CalibrationSet(
+        cv_xyz=cv_xyz,
+        cv_uv=calib.cv_uv,
+        cv_xyz_inv=cv_xyz_inv,
+        depth_limits=calib.depth_limits,
+        camera_positions=campos,
+        bbox_min=calib.bbox_min,
+        bbox_max=calib.bbox_max,
+    )
 
 
 def pose_residual_stats(calib, maps, volume, limit, poses=None, stride=2,
@@ -199,7 +338,13 @@ def pose_residual_stats(calib, maps, volume, limit, poses=None, stride=2,
         pts, w = _surface_points(calib, maps, i, stride)
         moved = apply_pose(poses[i], pts)
         r = _tsdf_at(vol, bbox_min, bbox_size, moved)
-        mask = (jnp.abs(r) < limit * 0.999) & (w > 0)
+        # saturation-aware: points pushed outside the truncation band count
+        # at the band limit instead of being excluded — otherwise a badly
+        # misaligned pose looks artificially good because its off-surface
+        # points drop out of the mean
+        mask = w > 0
         denom = jnp.maximum(jnp.sum(mask), 1)
-        out.append(jnp.sum(jnp.abs(r) * mask) / denom)
+        out.append(
+            jnp.sum(jnp.minimum(jnp.abs(r), limit) * mask) / denom
+        )
     return jnp.stack(out)

@@ -1,0 +1,85 @@
+"""Pose-BA sharp-recovery validation at reference scale on the TPU.
+
+Injects a known rotation+translation error into one sensor of a 4-sensor
+512x424 rig at 1 cm voxels, runs the leave-one-out Gauss-Newton refinement,
+and reports parameter-space recovery — the resolution regime where the
+objective is identifiable (the CPU unit test runs the same check at a
+coarse scale where only the residual floor is observable)."""
+import dataclasses
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+from rgbd_recon_tpu.core.cache import enable_compile_cache
+
+enable_compile_cache()
+import jax.numpy as jnp
+import numpy as np
+
+from rgbd_recon_tpu.calib.sensors import build_synthetic_calibration
+from rgbd_recon_tpu.core.camera import RGBDSensor, SensorRig
+from rgbd_recon_tpu.core.config import PipelineConfig
+from rgbd_recon_tpu.core.grid import BoundingBox
+from rgbd_recon_tpu.recon import TsdfPipeline
+from rgbd_recon_tpu.refine import (
+    leave_one_out_volumes, pose_residual_stats, refine_poses,
+)
+from rgbd_recon_tpu.refine.pose_ba import _rodrigues, apply_pose_corrections
+from rgbd_recon_tpu.sensors.synthetic import (
+    SyntheticScene, default_test_rig, render_rig_frames,
+)
+
+BBOX = BoundingBox(min=(-1.0, 0.0, -1.0), max=(1.0, 2.2, 1.0))
+rig = default_test_rig(num_sensors=4, depth_size=(512, 424),
+                       color_size=(640, 540), bbox=BBOX)
+
+th = np.radians(2.0)
+E_rot = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                  [-np.sin(th), 0, np.cos(th)]], np.float32)
+E_t = np.array([0.03, 0.0, 0.01], np.float32)
+s1 = rig.sensors[1]
+bad_depth = dataclasses.replace(
+    s1.depth,
+    r_cw=tuple(map(tuple, (E_rot @ np.asarray(s1.depth.R)).tolist())),
+    t_cw=tuple((E_rot @ np.asarray(s1.depth.t_cw) + E_t).tolist()),
+)
+bad_rig = SensorRig(sensors=(
+    rig.sensors[0],
+    RGBDSensor(depth=bad_depth, color=s1.color, serial=s1.serial),
+    rig.sensors[2], rig.sensors[3],
+))
+scene = SyntheticScene(spheres=[((0.0, 1.25, 0.0), 0.45),
+                                ((0.45, 0.55, 0.25), 0.28),
+                                ((-0.5, 0.75, -0.2), 0.22)])
+frames = render_rig_frames(scene, rig)
+print("baking calibration...", flush=True)
+calib = build_synthetic_calibration(bad_rig, BBOX, cv_res=(64, 128, 64),
+                                    inv_res=(200, 220, 200))
+cfg = PipelineConfig(voxel_size=0.01, brick_size=0.1, tsdf_limit=0.01)
+pipe = TsdfPipeline(calib, cfg, BBOX)
+
+# ground truth: the TRUE rig's forward volumes
+calib_true = build_synthetic_calibration(rig, BBOX, cv_res=(64, 128, 64),
+                                         inv_res=(8, 8, 8))
+
+
+def calib_error_mm(calib_cur):
+    """Mean lookup displacement |cv_xyz - cv_xyz_true| per sensor (mm),
+    over mid-frustum depths."""
+    a = np.asarray(calib_cur.cv_xyz[:, 16:112])
+    b = np.asarray(calib_true.cv_xyz[:, 16:112])
+    return np.linalg.norm(a - b, axis=-1).mean(axis=(1, 2, 3)) * 1000
+
+
+volume, maps, counts = pipe.fuse(frames)
+print("calib error before (mm/sensor):",
+      np.round(calib_error_mm(pipe.calib), 1), flush=True)
+print("refining (3 alternating rounds)...", flush=True)
+poses, hist = pipe.refine_sensor_poses(maps, counts, iters=8, rounds=3,
+                                       frames=frames)
+err = calib_error_mm(pipe.calib)
+print("calib error after  (mm/sensor):", np.round(err, 1))
+print(f"injected: 31.6 mm / 2 deg on sensor 1; residual lookup error "
+      f"{err[1]:.1f} mm (others {err[[0, 2, 3]].round(1)})")
