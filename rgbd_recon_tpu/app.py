@@ -156,12 +156,15 @@ def cmd_run(args):
         renderer = make_stereo_renderer(
             pipe.make_renderer, StereoCamera(cyclops=camera), mode=args.stereo
         )
-        _tsdf_render = lambda volume, maps, counts: renderer(volume, maps, counts)
+
+        def _tsdf_render(volume, maps, counts, cam_pose=None):
+            return renderer(volume, maps, counts), None
     else:
         _renderer = pipe.make_renderer(camera)
-        _tsdf_render = lambda volume, maps, counts: _renderer(
-            volume, maps, counts
-        ).color
+
+        def _tsdf_render(volume, maps, counts, cam_pose=None):
+            out = _renderer(volume, maps, counts, camera_pose=cam_pose)
+            return out.color, out
     points_renderer = PointsPipeline(calib, config).make_renderer(camera)
     trigrid_renderer = TrigridPipeline(calib, config).make_renderer(camera)
     mvt_renderer = MvtPipeline(calib, config).make_renderer(camera)
@@ -179,59 +182,84 @@ def cmd_run(args):
     # frame source: ZMQ stream, .stream replay, or synthetic fallback —
     # all pumped through FrameFeed so host decode overlaps the device step
     # (the reference's recv-thread + double-PBO overlap,
-    # NetKinectArray.cpp:226-238 + double_pixel_buffer.cpp)
+    # NetKinectArray.cpp:226-238 + double_pixel_buffer.cpp). Live network
+    # sources drop to the latest frame (HWM=1); replay/synthetic sources
+    # deliver every frame in order (the reference only drops on the live
+    # path — round-3 advisor finding).
     from .io.feed import FrameFeed
-    from .io.stream import FrameCompression
+    from .io.stream import RAW, FrameCompression
 
-    compression = None
+    # PER-SENSOR wire encodings, like the reference sizing each sensor's
+    # buffers from its own calibration's isCompressedRGB/Depth flags
+    # (NetKinectArray.cpp:120-144); --stream-compression overrides all
     if args.stream_compression != "raw" or args.stream_depth_u8:
-        compression = FrameCompression(
+        override = FrameCompression(
             rgb={"raw": 0, "dxt1": 1, "dxt5": 5}[args.stream_compression],
             depth_u8=args.stream_depth_u8,
         )
+        compressions = [override] * num_sensors
     else:
-        # per-sensor compression flags from the calibration files, like the
-        # reference sizing its buffers from isCompressedRGB/Depth
-        # (NetKinectArray.cpp:120-144)
+        from .calib.kinect_yml import parse_kinect_yml
+
         base = Path(scene.base_dir)
+        compressions = []
         for name in scene.calib_files:
             yml = base / name
+            comp = RAW
             if yml.exists():
-                from .calib.kinect_yml import parse_kinect_yml
-
                 cal = parse_kinect_yml(yml)
                 if cal.compressed_rgb or cal.compressed_depth:
-                    compression = FrameCompression.from_calibration(cal)
-                    print(f"wire compression from {name}: {compression}",
+                    comp = FrameCompression.from_calibration(cal)
+                    print(f"wire compression from {name}: {comp}",
                           file=sys.stderr)
-                break
+            compressions.append(comp)
+        compressions += [RAW] * (num_sensors - len(compressions))
 
     zmq_source = None
+    feed_mode = "ordered"
     if args.zmq:
         from .io.network import ZmqFrameSource
 
+        feed_mode = "latest"
         zmq_source = ZmqFrameSource(
             args.zmq, num_sensors, depth_size=tuple(args.depth_size),
             color_size=tuple(args.color_size), endpoint_slave=args.zmq_slave,
-            compression=compression,
+            compression=compressions,
         )
         source = zmq_source.latest
     elif args.streams:
+        # stream sizes must match --depth-size/--color-size. Raw-encoded
+        # streams replay through the native GIL-free reader
+        # (native/framering.cpp) when it builds; compressed streams use the
+        # Python reader, which owns the DXT/u8 decode.
+        from .io import native as native_io
         from .io.stream import StreamReader
 
-        # stream sizes must match --depth-size/--color-size
+        use_native = (
+            not args.no_native_ingest
+            and all(ci == RAW for ci in compressions)
+            and native_io.available()
+        )
         readers = []
         sdirs = sorted(Path(args.streams).glob("*.stream"))
         if len(sdirs) < num_sensors:
             raise FileNotFoundError(
                 f"need {num_sensors} .stream files in {args.streams}"
             )
-        for p in sdirs[:num_sensors]:
-            readers.append(
-                StreamReader(p, depth_size=tuple(args.depth_size),
-                             color_size=tuple(args.color_size),
-                             compression=compression)
-            )
+        for i, p in enumerate(sdirs[:num_sensors]):
+            if use_native:
+                readers.append(native_io.NativeStreamReader(
+                    p, depth_size=tuple(args.depth_size),
+                    color_size=tuple(args.color_size),
+                ))
+            else:
+                readers.append(
+                    StreamReader(p, depth_size=tuple(args.depth_size),
+                                 color_size=tuple(args.color_size),
+                                 compression=compressions[i])
+                )
+        if use_native:
+            print("replay through native framering", file=sys.stderr)
         clock = [0.0]
 
         def source():
@@ -265,7 +293,17 @@ def cmd_run(args):
             fr = render_rig_frames(sc, rig, t)
             return t, np.asarray(fr.colors), np.asarray(fr.depths)
 
-    feed = FrameFeed(source)
+    feed = FrameFeed(source, mode=feed_mode)
+
+    # control plane: remote feedback channel driving recon_mode, the
+    # stream slot, and the render-camera pose live (the reference's
+    # FeedbackReceiver + kinect_client.cpp:637-673 side-by-side driver)
+    fbr = None
+    if args.feedback:
+        from .io.network import FeedbackReceiver
+
+        fbr = FeedbackReceiver(args.feedback)
+        print(f"feedback channel on {args.feedback}", file=sys.stderr)
 
     db = TimerDatabase()
     import jax.numpy as jnp
@@ -284,11 +322,31 @@ def cmd_run(args):
             break
         if config.time_limit and time.time() - start > config.time_limit:
             break
-        frames = feed.get(timeout=10.0)
+        # first frame may wait on the source's cold compile (synthetic
+        # renderer / stream decode warmup)
+        frames = feed.get(timeout=120.0 if n_done == 0 else 10.0)
         if frames is None:
             print("frame source idle; stopping", file=sys.stderr)
             break
         ts = float(np.asarray(frames.timestamp))
+
+        # live control: mode / stream-slot / camera pose from the feedback
+        # channel (the reference applies these inside its draw loop,
+        # kinect_client.cpp:637-673; NetKinectArray.cpp:766-771)
+        cam_pose = None
+        if fbr is not None and fbr.seq > 0:
+            fb = fbr.get()
+            if int(fb.recon_mode) != config.recon_mode:
+                print(f"feedback: recon_mode -> {int(fb.recon_mode)}",
+                      file=sys.stderr)
+            config.recon_mode = int(fb.recon_mode)
+            if zmq_source is not None:
+                zmq_source.stream_slot = int(fb.stream_slot) % 2
+            from .recon.tsdf_pipeline import CamParams
+
+            cam_pose = CamParams.from_matrix(fb.cyclops_mat, scene.bbox)
+
+        render_out = None
         with db.time("1preprocess+2integrate"):
             volume, maps, counts = pipe.fuse(frames)
             jax.block_until_ready(volume)
@@ -302,7 +360,9 @@ def cmd_run(args):
             elif config.recon_mode == 4:
                 img, _, _ = calibvis_renderer(volume)
             else:
-                img = _tsdf_render(volume, maps, counts)
+                img, render_out = _tsdf_render(
+                    volume, maps, counts, cam_pose
+                )
             jax.block_until_ready(img)
         if args.save_renders:
             from .viz import save_image
@@ -332,8 +392,9 @@ def cmd_run(args):
             )
         if n_done % 10 == 1 and config.recon_mode == 1:
             # capacity-overflow observability: warn the moment a fixed
-            # capacity drops geometry (round-2 advisor finding)
-            diag = pipe.diagnostics(counts)
+            # capacity drops geometry OR pixels (round-2/3 advisor
+            # findings) — includes the render-side block/ray/hit counters
+            diag = pipe.diagnostics(counts, render_out)
             if diag.get("bricks_dropped", 0):
                 print(
                     f"WARNING: {diag['bricks_dropped']} occupied bricks "
@@ -341,12 +402,24 @@ def cmd_run(args):
                     "dropped — raise PipelineConfig.brick_capacity",
                     file=sys.stderr,
                 )
+            for key, knob in (
+                ("blocks_dropped", "ray_compaction"),
+                ("phase2_rays_dropped", "march tail capacity"),
+                ("hits_dropped", "hit_compaction"),
+            ):
+                if diag.get(key, 0):
+                    print(
+                        f"WARNING: {diag[key]} {key} this frame — raise "
+                        f"PipelineConfig.{knob}", file=sys.stderr,
+                    )
         print(f"frame {n_done} t={ts:.2f}", file=sys.stderr)
 
     produced = feed.frames_produced
     feed.close()
     if zmq_source is not None:
         zmq_source.close()
+    if fbr is not None:
+        fbr.close()
     csv_text = db.write_csv(out_dir / "timings.csv")
     print(csv_text, file=sys.stderr)
     dropped = max(0, produced - n_done)
@@ -435,6 +508,13 @@ def main(argv=None):
                          "tcp://127.0.0.1:7000 (master)")
     pr.add_argument("--zmq-slave", default=None,
                     help="secondary ZMQ endpoint (stream-slot switch)")
+    pr.add_argument("--feedback", default=None,
+                    help="ZMQ SUB endpoint of the feedback control channel "
+                         "(drives recon_mode / stream slot / camera pose "
+                         "live, like the reference's FeedbackReceiver)")
+    pr.add_argument("--no-native-ingest", action="store_true",
+                    help="force the pure-Python .stream reader even when "
+                         "the native framering library builds")
     pr.add_argument("--stream-compression", default="raw",
                     choices=["raw", "dxt1", "dxt5"],
                     help="wire color encoding of --streams/--zmq frames")

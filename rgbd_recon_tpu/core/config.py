@@ -143,13 +143,17 @@ class PipelineConfig:
     # per block; intervals are conservatively 3x3-min/max-pooled across
     # neighboring blocks). Also the block-compaction granularity.
     interval_downsample: int = 4
-    # Two-phase march: all compacted rays march `march_phase1_steps`; the
-    # (few) rays still unfinished are re-compacted to 1/8 capacity and
-    # continue at narrow width. 0 disables the split.
-    march_phase1_steps: int = 20
-    # Coarse interval-scan step as a fraction of the brick edge. Smaller =
-    # more coarse samples but tighter intervals (shorter fine-march lead-in).
-    interval_step_frac: float = 0.25
+    # Staged march: all compacted rays march `march_phase1_steps`; rays
+    # still unfinished are re-compacted to narrower widths and continue
+    # (two tail stages: 1/4 capacity for a medium budget, then 1/16
+    # capacity to exhaustion — the long tail is grazing silhouette rays).
+    # 0 disables the split (single full-length march).
+    march_phase1_steps: int = 12
+    # Coarse interval-scan step as a fraction of the brick edge. The scan
+    # targets the 1-brick-DILATED surface-brick set (a >=3-brick-wide slab
+    # around any surface), so 0.5-brick steps cannot miss it; smaller =
+    # more coarse samples but slightly tighter intervals.
+    interval_step_frac: float = 0.5
     # Sphere-trace through certified-empty space: a per-frame Chebyshev
     # distance-to-surface field is baked into the marched volume as skip
     # sentinels, and the march advances by the certified-safe distance in
@@ -157,6 +161,21 @@ class PipelineConfig:
     # per ray drop ~4x at reference scale. Applies to the nearest fast path
     # only; trilinear parity mode always steps uniformly like the reference.
     march_empty_skip: bool = True
+    # Rounds of voxel-level dilation for the near-surface skip field (skip
+    # sentinels 1..N voxels), and rounds of BRICK-level dilation for the
+    # far-field skip (sentinels N bricks of voxels — the far field costs
+    # a (Bz,By,Bx)-sized pass instead of dense volume dilations).
+    skip_fine_rounds: int = 4
+    skip_brick_rounds: int = 6
+    # Per-block fine-march bracketing from the coarse density march (one
+    # ray per block marches the volume first; fine rays then march only
+    # [min9(hit)-margin, max9(hit)+margin] when all 3x3 neighboring block
+    # rays hit coherently). Margin and max bracket width in units of the
+    # march step (tsdf_limit/2). Rays that miss inside the bracket continue
+    # to the full interval in the tail stages, so bracketing never drops
+    # geometry that the coarse-hit test approved.
+    bracket_margin_steps: float = 3.0
+    bracket_max_steps: float = 16.0
     # Fraction of compacted rays given hit-shading capacity (normals +
     # color blending run on the compacted hit set only). Hits beyond
     # capacity render as background and are counted in

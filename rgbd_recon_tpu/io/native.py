@@ -68,6 +68,58 @@ def available() -> bool:
     return ensure_built()
 
 
+class NativeStreamReader:
+    """In-order, looping .stream reader through the native library: the
+    GIL-free drop-in for io.stream.StreamReader on the replay hot path
+    (file read + memcpy run in C, releasing the GIL for the FrameFeed
+    producer thread). Raw wire encodings only — compressed streams fall
+    back to the Python reader, which owns the DXT/u8 decode."""
+
+    def __init__(self, path, depth_size: Tuple[int, int],
+                 color_size: Tuple[int, int], loop: bool = True):
+        if not ensure_built():
+            raise RuntimeError(
+                "native library unavailable; use io.stream.StreamReader"
+            )
+        from .stream import frame_wire_size
+
+        self.depth_size = depth_size
+        self.color_size = color_size
+        self.color_bytes, self.depth_bytes = frame_wire_size(
+            depth_size, color_size
+        )
+        self.frame_bytes = self.color_bytes + self.depth_bytes
+        self._stream = _lib.stream_open(
+            str(path).encode(), self.frame_bytes, int(loop)
+        )
+        if not self._stream:
+            raise FileNotFoundError(path)
+        self.num_frames = _lib.stream_num_frames(self._stream)
+        self._buf = np.empty(self.frame_bytes, np.uint8)
+
+    def read_frame(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(color (H, W, 3) f32 [0,1], depth (H, W) f32 m), in file order."""
+        if not _lib.stream_read(
+            self._stream, self._buf.ctypes.data_as(ctypes.c_void_p)
+        ):
+            raise EOFError("stream exhausted")
+        cw, ch = self.color_size
+        dw, dh = self.depth_size
+        color = (
+            self._buf[: self.color_bytes]
+            .reshape(ch, cw, 3)
+            .astype(np.float32)
+            / 255.0
+        )
+        depth = self._buf[self.color_bytes:].view("<f4").reshape(dh, dw).copy()
+        return color, depth
+
+    def close(self):
+        if self._stream:
+            _lib.stream_close(self._stream)
+            self._stream = None
+
+
 class NativeStreamPump:
     """File -> native pump thread -> latest-frame slot.
 

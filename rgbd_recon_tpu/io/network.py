@@ -37,6 +37,11 @@ class ZmqFrameSource:
         endpoint_slave: Optional[str] = None,
         compression=None,
     ):
+        """``compression`` is a single FrameCompression applied to every
+        sensor, or a per-sensor list — the reference sizes each sensor's
+        buffers from its own calibration's isCompressedRGB/Depth flags
+        (NetKinectArray.cpp:120-144), so heterogeneous rigs decode with
+        per-sensor frame sizes."""
         import zmq
 
         from .stream import RAW
@@ -44,10 +49,15 @@ class ZmqFrameSource:
         self.num_sensors = num_sensors
         self.depth_size = depth_size
         self.color_size = color_size
-        self.compression = compression or RAW
-        self.color_bytes, self.depth_bytes = frame_wire_size(
-            depth_size, color_size, self.compression
-        )
+        comp = compression if compression is not None else RAW
+        if not isinstance(comp, (list, tuple)):
+            comp = [comp] * num_sensors
+        assert len(comp) == num_sensors, (len(comp), num_sensors)
+        self.compressions = list(comp)
+        self.sizes = [
+            frame_wire_size(depth_size, color_size, ci)
+            for ci in self.compressions
+        ]
         self._ctx = zmq.Context.instance()
         self._endpoints = [endpoint_master, endpoint_slave or endpoint_master]
         self.stream_slot = 0
@@ -71,13 +81,13 @@ class ZmqFrameSource:
         import zmq
 
         socks = [self._connect(0), self._connect(1)]
-        per = self.color_bytes + self.depth_bytes
+        per = sum(cb + db for cb, db in self.sizes)
         while self._running:
             try:
                 msg = socks[self.stream_slot].recv()
             except zmq.Again:
                 continue
-            if len(msg) < 8 + per * self.num_sensors:
+            if len(msg) < 8 + per:
                 continue  # malformed; reference would read garbage
             with self._lock:
                 self._latest = msg
@@ -101,16 +111,15 @@ class ZmqFrameSource:
         depths = np.empty((self.num_sensors, dh, dw), np.float32)
         off = 8
         for i in range(self.num_sensors):
+            cb, db = self.sizes[i]
             colors[i] = decode_color(
-                msg[off: off + self.color_bytes], self.color_size,
-                self.compression,
+                msg[off: off + cb], self.color_size, self.compressions[i]
             )
-            off += self.color_bytes
+            off += cb
             depths[i] = decode_depth(
-                msg[off: off + self.depth_bytes], self.depth_size,
-                self.compression,
+                msg[off: off + db], self.depth_size, self.compressions[i]
             )
-            off += self.depth_bytes
+            off += db
         return ts, colors, depths
 
     def close(self):
@@ -164,6 +173,7 @@ class FeedbackReceiver:
 
         self._state = initial or FeedbackState()
         self._lock = threading.Lock()
+        self._seq = 0
         self._running = True
         self._ctx = zmq.Context.instance()
         self._sock = self._ctx.socket(zmq.SUB)
@@ -186,6 +196,13 @@ class FeedbackReceiver:
                 fb = FeedbackState.unpack(msg)
                 with self._lock:
                     self._state = fb
+                    self._seq += 1
+
+    @property
+    def seq(self) -> int:
+        """Number of feedback messages received (0 = defaults only)."""
+        with self._lock:
+            return self._seq
 
     def get(self) -> FeedbackState:
         with self._lock:

@@ -35,6 +35,42 @@ from ..ops.sampling import trilinear_3d
 from ..sensors.frames import FrameSet
 
 
+def _dilate1(m: jnp.ndarray, ax: int) -> jnp.ndarray:
+    """1-step boolean dilation along one axis, shift-and-pad semantics (no
+    wraparound across volume faces)."""
+    sl_lo = [slice(None)] * m.ndim
+    sl_lo[ax] = slice(1, None)
+    sl_hi = [slice(None)] * m.ndim
+    sl_hi[ax] = slice(None, -1)
+    pad_lo = [(0, 0)] * m.ndim
+    pad_lo[ax] = (0, 1)
+    pad_hi = [(0, 0)] * m.ndim
+    pad_hi[ax] = (1, 0)
+    return (
+        m
+        | jnp.pad(m[tuple(sl_lo)], pad_lo)
+        | jnp.pad(m[tuple(sl_hi)], pad_hi)
+    )
+
+
+def _dilate3(m: jnp.ndarray) -> jnp.ndarray:
+    """1-step Chebyshev (box) dilation: one shift-or pass per axis."""
+    for ax in range(m.ndim):
+        m = _dilate1(m, ax)
+    return m
+
+
+def _brick_any(mask: jnp.ndarray, vol_shape, brick_vox: int) -> jnp.ndarray:
+    """(Z, Y, X) bool -> (Bz, By, Bx) bool: any-pooling to brick grid."""
+    (Bz, By, Bx), padded = tsdf.brick_layout(vol_shape, brick_vox)
+    Z, Y, X = vol_shape
+    v = brick_vox
+    m = jnp.pad(
+        mask, [(0, padded[0] - Z), (0, padded[1] - Y), (0, padded[2] - X)]
+    )
+    return m.reshape(Bz, v, By, v, Bx, v).any(axis=(1, 3, 5))
+
+
 @struct.dataclass
 class RenderOutput:
     """Final render + debug maps (the reference's screen + texture viewer)."""
@@ -70,6 +106,19 @@ class CamParams:
             eye_vol=jnp.asarray(bbox.normalize(eye)),
         )
 
+    @classmethod
+    def from_matrix(cls, mat, bbox: BoundingBox):
+        """Pose from a 4x4 camera-to-world matrix (GL convention: camera
+        looks along -z) — the form the feedback channel delivers
+        (FeedbackReceiver cyclops/model mats, kinect_client.cpp:637-673)."""
+        m = np.asarray(mat, np.float32)
+        eye = m[:3, 3]
+        return cls(
+            eye_w=jnp.asarray(eye),
+            rot=jnp.asarray(m[:3, :3]),
+            eye_vol=jnp.asarray(bbox.normalize(eye)),
+        )
+
 
 class TsdfPipeline:
     """Builds and owns the jitted step functions for one scene setup.
@@ -93,6 +142,21 @@ class TsdfPipeline:
         self.config = config or PipelineConfig()
         self.bbox = bbox or calib.bbox
         self.calib = calib
+        # the TSDF truncation limit flows through every jitted program as a
+        # TRACED scalar, so set_tsdf_limit() swaps it without a recompile
+        # (the reference's tsdf slider, recon_integration.cpp:341-345)
+        self._limit = jnp.float32(self.config.tsdf_limit)
+        # bumped by shape-changing reconfiguration (voxel/brick size);
+        # renderers rebuild their traced program lazily when stale
+        self._generation = 0
+        self._jit_cache = {}
+        self._pixel_models_cache = {}
+        self._build_grids()
+        self._rebuild_jits()
+
+    def _build_grids(self):
+        """(Re)derive the volume/brick grids and projection bakes from the
+        current config + calibration — everything with a shape."""
         self.volume_grid = VolumeGrid(bbox=self.bbox, voxel_size=self.config.voxel_size)
         self.brick_grid = BrickGrid(
             bbox=self.bbox,
@@ -124,10 +188,31 @@ class TsdfPipeline:
             )
         else:
             self.projections = None
-        self._preprocess = jax.jit(self._preprocess_impl)
-        self._integrate = jax.jit(self._integrate_impl)
-        self._fuse = jax.jit(self._fuse_impl)
-        self._pixel_models_cache = {}
+
+    def _jit_key(self):
+        """Config fields the stage traces depend on (toggles + shapes).
+        Cached jit wrappers per key make toggle flips instant once each
+        variant has compiled — the equivalent of the reference re-running
+        processTextures()+integrate() on any GUI toggle
+        (kinect_client.cpp:362-376)."""
+        c = self.config
+        return (
+            c.morph, c.bilateral, c.processed, c.refine, c.mark_stride,
+            c.bricking, c.pixel_ray_model, c.carve_sil_threshold,
+            c.phantom_hull, c.integrate_taps, c.brick_capacity,
+            c.min_voxels_per_brick,
+            self.volume_grid.shape, self.brick_vox, self.compact,
+        )
+
+    def _rebuild_jits(self):
+        key = self._jit_key()
+        if key not in self._jit_cache:
+            self._jit_cache[key] = (
+                jax.jit(self._preprocess_impl),
+                jax.jit(self._integrate_impl),
+                jax.jit(self._fuse_impl),
+            )
+        self._preprocess, self._integrate, self._fuse = self._jit_cache[key]
 
     def _get_pixel_models(self, depth_hw):
         """Per-pixel calibration closed forms for this depth resolution
@@ -237,6 +322,7 @@ class TsdfPipeline:
         projections,
         maps: SensorMaps,
         brick_counts: jnp.ndarray,
+        limit,
     ) -> jnp.ndarray:
         c = self.config
         if self.compact:
@@ -249,7 +335,7 @@ class TsdfPipeline:
                 maps.depth[..., 0],
                 maps.quality,
                 maps.silhouette,
-                c.tsdf_limit,
+                limit,
                 self.volume_grid.shape,
                 self.brick_vox,
                 carve_sil_threshold=c.carve_sil_threshold,
@@ -262,7 +348,7 @@ class TsdfPipeline:
             maps.depth[..., 0],
             maps.quality,
             maps.silhouette,
-            c.tsdf_limit,
+            limit,
             voxel_mask=self._voxel_mask(brick_counts),
             projections=projections,
             carve_sil_threshold=c.carve_sil_threshold,
@@ -271,10 +357,10 @@ class TsdfPipeline:
 
     def _fuse_impl(
         self, calib: CalibrationSet, projections, pixel_models,
-        frames: FrameSet
+        frames: FrameSet, limit,
     ) -> Tuple[jnp.ndarray, SensorMaps, jnp.ndarray]:
         maps, counts = self._preprocess_impl(calib, pixel_models, frames)
-        volume = self._integrate_impl(calib, projections, maps, counts)
+        volume = self._integrate_impl(calib, projections, maps, counts, limit)
         return volume, maps, counts
 
     # -- public API --------------------------------------------------------
@@ -284,7 +370,9 @@ class TsdfPipeline:
         return self._preprocess(self.calib, pm, frames)
 
     def integrate(self, maps: SensorMaps, brick_counts: jnp.ndarray) -> jnp.ndarray:
-        return self._integrate(self.calib, self.projections, maps, brick_counts)
+        return self._integrate(
+            self.calib, self.projections, maps, brick_counts, self._limit
+        )
 
     def fuse(self, frames: FrameSet):
         """One fused frame update: preprocess + mark + integrate.
@@ -297,13 +385,60 @@ class TsdfPipeline:
         """
         pm = self._get_pixel_models(frames.depths.shape[1:3])
         maps, counts = self._preprocess(self.calib, pm, frames)
-        volume = self._integrate(self.calib, self.projections, maps, counts)
+        volume = self._integrate(
+            self.calib, self.projections, maps, counts, self._limit
+        )
         return volume, maps, counts
 
     def fuse_single_program(self, frames: FrameSet):
         """The whole frame update as ONE jitted XLA program."""
         pm = self._get_pixel_models(frames.depths.shape[1:3])
-        return self._fuse(self.calib, self.projections, pm, frames)
+        return self._fuse(
+            self.calib, self.projections, pm, frames, self._limit
+        )
+
+    # -- runtime reconfiguration (recon_integration.cpp:341-354, 468-484;
+    #    kinect_client.cpp:362-376) ---------------------------------------
+
+    def set_tsdf_limit(self, limit: float) -> None:
+        """Live truncation-limit change WITHOUT recompiling: the limit is a
+        traced scalar in every stage program. (The render step size adapts
+        with it; the static march step BOUND is sized from the construction
+        limit, so halving the limit at runtime may leave grazing rays
+        unfinished — visible in RenderOutput.overflow[1].)"""
+        self.config.tsdf_limit = float(limit)
+        self._limit = jnp.float32(limit)
+
+    def set_voxel_size(self, voxel_size: float) -> None:
+        """Rebuild the volume grid + projection bakes at a new resolution
+        (shapes change, so affected programs recompile — like the
+        reference rebuilding the volume, recon_integration.cpp:341-354)."""
+        self.reconfigure(voxel_size=float(voxel_size))
+
+    def set_brick_size(self, brick_size: float) -> None:
+        self.reconfigure(brick_size=float(brick_size))
+
+    def reconfigure(self, **updates) -> None:
+        """Apply config updates (voxel_size, brick_size, processing
+        toggles, ...) and re-derive everything affected. Shape-preserving
+        toggle flips reuse cached compiled variants (instant after their
+        first use); shape changes re-bake grids/projections and invalidate
+        outstanding renderers (they rebuild lazily on next call)."""
+        shape_keys = {"voxel_size", "brick_size", "bricking",
+                      "min_voxels_per_brick"}
+        reshape = False
+        for k, v in updates.items():
+            if not hasattr(self.config, k):
+                raise AttributeError(f"unknown config field {k}")
+            if getattr(self.config, k) != v:
+                setattr(self.config, k, v)
+                reshape = reshape or k in shape_keys
+        if "tsdf_limit" in updates:
+            self._limit = jnp.float32(self.config.tsdf_limit)
+        if reshape:
+            self._build_grids()
+        self._rebuild_jits()
+        self._generation += 1
 
     def update_calibration(self, calib: CalibrationSet) -> None:
         """Swap in a new calibration set (e.g. pose-refined by
@@ -426,8 +561,8 @@ class TsdfPipeline:
         return self._projection_models
 
     def _shade_hits(self, packed, hit, hit_pos, maps, calib, proj_models,
-                    cam: CamParams, near: float, far: float,
-                    clamp_floor: float = None):
+                    cam: CamParams, near: float, far: float, limit=None,
+                    clamp_floor=None):
         """Normal + color + shading at hit positions (any batch shape).
         Returns (rgba, depth_win). The submitFragment half of the raymarch
         shader (tsdf_raymarch.fs:116-142)."""
@@ -435,7 +570,7 @@ class TsdfPipeline:
         bbox_sz = jnp.asarray(np.asarray(self.bbox.size, np.float32))
 
         grad = raymarch.gradient_normal(
-            packed, hit_pos, c.tsdf_limit, mode=c.march_mode,
+            packed, hit_pos, limit, mode=c.march_mode,
             clamp_floor=clamp_floor,
         )
         # volume-space gradient -> world via inverse-transpose of the
@@ -452,7 +587,7 @@ class TsdfPipeline:
         if c.shade_mode == 3:
             rgb = raymarch.blend_cameras(
                 hit_pos, calib.cv_xyz_inv, maps.depth[..., 0], maps.quality,
-                c.tsdf_limit,
+                limit,
             )
             rgba = jnp.concatenate(
                 [rgb, jnp.ones_like(rgb[..., :1])], axis=-1
@@ -464,7 +599,7 @@ class TsdfPipeline:
                 rgba = raymarch.blend_colors_normal(
                     hit_pos, world_pos, grad, proj_models,
                     calib.cv_xyz_inv, calib.cv_uv, maps.color,
-                    maps.depth[..., 0], maps.normal, c.tsdf_limit,
+                    maps.depth[..., 0], maps.normal, limit,
                     variant=(
                         "best_two" if c.blend_mode == "best_two"
                         else "deviation"
@@ -473,7 +608,7 @@ class TsdfPipeline:
             elif proj_models is not None:
                 rgba = raymarch.blend_colors_analytic(
                     world_pos, proj_models, maps.color, maps.depth[..., 0],
-                    maps.quality, c.tsdf_limit,
+                    maps.quality, limit,
                 )
             else:
                 blend = (
@@ -483,7 +618,7 @@ class TsdfPipeline:
                 )
                 rgba = blend(
                     hit_pos, calib.cv_xyz_inv, calib.cv_uv, maps.color,
-                    maps.depth[..., 0], maps.quality, c.tsdf_limit,
+                    maps.depth[..., 0], maps.quality, limit,
                 )
             shaded = raymarch.shade(
                 view_pos, view_normal, rgba[..., :3],
@@ -508,22 +643,10 @@ class TsdfPipeline:
         occupancy mask (which includes silhouette-carve-only bricks that
         rays previously marched through end to end finding nothing)."""
         v = self.brick_vox
-        (Bz, By, Bx), padded = tsdf.brick_layout(self.volume_grid.shape, v)
-        pos = volume > 0.0
-        # 1-voxel dilation per axis: trilinear interpolation reaches at most
-        # one voxel beyond a positive sample
-        for ax in (0, 1, 2):
-            up_ = jnp.roll(pos, 1, axis=ax)
-            dn_ = jnp.roll(pos, -1, axis=ax)
-            pos = pos | up_ | dn_
-        Z, Y, X = volume.shape
-        pos = jnp.pad(
-            pos,
-            [(0, padded[0] - Z), (0, padded[1] - Y), (0, padded[2] - X)],
-        )
-        return (
-            pos.reshape(Bz, v, By, v, Bx, v).any(axis=(1, 3, 5))
-        )
+        # 1-voxel dilation per axis (shift-and-pad — no face wraparound):
+        # trilinear interpolation reaches at most one voxel beyond a
+        # positive sample
+        return _brick_any(_dilate3(volume > 0.0), self.volume_grid.shape, v)
 
     def make_render_fn(self, camera: raymarch.ViewCamera,
                        max_steps: Optional[int] = None):
@@ -563,11 +686,14 @@ class TsdfPipeline:
             and Hb >= 4 and Wb >= 4
         )
 
-        # coarse interval step: fraction of the smallest normalized brick
-        # edge (tighter than the half-brick step of round 2 — the shorter
-        # lead-in saves ~10 fine march steps per ray)
-        step_len = c.interval_step_frac * brick_vox / max(vol_shape)
-        n_coarse_max = int(np.ceil(np.sqrt(3.0) / step_len)) + 2
+        # coarse scan step: fraction of the smallest normalized brick edge.
+        # The scan targets the 1-brick-dilated surface-brick set, so a
+        # half-brick step cannot cross it unsampled (the dilated slab is
+        # >= 3 bricks wide around any surface brick).
+        h_min = 1.0 / max(vol_shape)
+        brick_norm = brick_vox * h_min
+        step_len = c.interval_step_frac * brick_norm
+        n_scan_max = int(np.ceil(np.sqrt(3.0) / step_len)) + 2
 
         def ray_dirs(cam: CamParams, hh, ww):
             """(hh, ww, 3) unit volume-space directions, from iota (camera
@@ -603,15 +729,25 @@ class TsdfPipeline:
             xlo, xhi = lohi(occ.any(axis=(0, 1)), Bx, brick_vox, X)
             return (jnp.stack([xlo, ylo, zlo]), jnp.stack([xhi, yhi, zhi]))
 
-        def coarse_intervals(occ, cam: CamParams, dirs_c):
-            """Per-coarse-ray (s_first, s_last, s0, s1) arc lengths of the
-            first/last occupied sample — the TPU re-design of the rasterized
-            brick-hull depth peel (drawDepthLimits,
-            recon_integration.cpp:409-429 + glsl/bricks.{vs,gs,fs})."""
+        def scan_intervals(occ, bsafe, cam: CamParams, dirs_c):
+            """Per-coarse-ray (s_first, s_last, s0, s1) arc lengths where
+            ``first`` is the first sample inside the 1-brick-DILATED
+            surface-brick set (the conservative march start) and ``last``
+            the last sample inside an actual SURFACE brick (the far bound;
+            -inf when the ray crossed only the dilated shell -> inactive)
+            — the TPU re-design of the rasterized brick-hull depth peel
+            (drawDepthLimits, recon_integration.cpp:409-429 +
+            glsl/bricks.{vs,gs,fs}). The scan sphere-traces on the
+            brick-level Chebyshev field ``bsafe`` (value s certifies the
+            dilated target set is >= s bricks away), so rays cross empty
+            space in O(occupied crossings + log) samples instead of
+            span/step samples."""
             Bz, By, Bx = occ.shape
             Z, Y, X = vol_shape
-            occ_pairs = raymarch.PackedVolume.from_volume(
-                occ.astype(jnp.float32)
+            # scan field coding: -1 surface brick, 0 dilated shell,
+            # s >= 1 certified Chebyshev clearance
+            bpairs = raymarch.PackedVolume.from_volume(
+                jnp.where(occ, -1.0, bsafe)
             )
             box_min, box_max = surface_aabb(occ)
 
@@ -625,32 +761,34 @@ class TsdfPipeline:
             s1 = jnp.where(valid, s1, -1.0)
 
             big = jnp.full(dirs_c.shape[:-1], np.inf, jnp.float32)
-            init = (jnp.int32(0), big, -big)
-            span = jnp.max(jnp.where(valid, s1 - s0, 0.0))
+            init = (jnp.int32(0), s0, big, -big)
 
             def cond(carry):
-                k, first, last = carry
-                return (k < n_coarse_max) & (
-                    k.astype(jnp.float32) * step_len <= span
-                )
+                k, t, first, last = carry
+                return (k < n_scan_max) & jnp.any(valid & (t <= s1))
 
             def body(carry):
-                k, first, last = carry
-                s = s0 + k.astype(jnp.float32) * step_len
-                inside = s <= s1
-                pos = cam.eye_vol + dirs_c * s[..., None]
+                k, t, first, last = carry
+                inside = valid & (t <= s1)
+                pos = cam.eye_vol + dirs_c * t[..., None]
                 # brick membership via voxel index (floor semantics of
                 # inc_bricks.glsl get_id/index_3d)
                 bx = jnp.clip((pos[..., 0] * X).astype(jnp.int32) // brick_vox, 0, Bx - 1)
                 by = jnp.clip((pos[..., 1] * Y).astype(jnp.int32) // brick_vox, 0, By - 1)
                 bz = jnp.clip((pos[..., 2] * Z).astype(jnp.int32) // brick_vox, 0, Bz - 1)
-                rows = occ_pairs.pairs[(bz * By + by) * Bx + bx]
-                o = (rows[..., 0] > 0.0) & inside
-                first = jnp.where(o & (s < first), s, first)
-                last = jnp.where(o & (s > last), s, last)
-                return (k + 1, first, last)
+                s = bpairs.pairs[(bz * By + by) * Bx + bx][..., 0]
+                tgt = (s < 0.5) & inside          # dilated set (entry)
+                surf = (s < -0.5) & inside        # true surface brick
+                first = jnp.where(tgt & (t < first), t, first)
+                last = jnp.where(surf & (t > last), t, last)
+                # bsafe == s certifies the nearest target brick is >= s
+                # bricks away -> advancing (s-1) brick edges (conservative
+                # h_min scaling) cannot cross it
+                adv = jnp.maximum((s - 1.0) * brick_norm, step_len)
+                t = t + jnp.where(inside, adv, 1.0)
+                return (k + 1, t, first, last)
 
-            _, first, last = jax.lax.while_loop(cond, body, init)
+            _, _, first, last = jax.lax.while_loop(cond, body, init)
             return first, last, s0, jnp.where(valid, s1, 0.0)
 
         def pool3(x, op):
@@ -665,84 +803,128 @@ class TsdfPipeline:
 
         def finalize(rgba, depth_win, hit_img, num_img, overflow):
             if c.colorfill:
-                filled, depth_out = holefill.fill_colors(
-                    rgba, depth_win, num_lods
+                # planar channels: W in lanes, not the 4-wide C axis
+                filled, depth_out = holefill.fill_colors_planar(
+                    [rgba[..., i] for i in range(4)], depth_win, num_lods
                 )
-                color = filled[..., :3]
+                rgb_planes = filled[:3]
             else:
-                color = rgba[..., :3]
+                rgb_planes = [rgba[..., i] for i in range(3)]
                 depth_out = depth_win
             # background compositing: the reference relies on the colorfill
             # pass writing gl_FragDepth = 1.0 for empty pixels, which fails
             # the GL_LESS depth test against the cleared buffer
             # (tsdf_inpaint.fs:35, view clear) — equivalent dense mask here.
             shown = depth_out < 1.0
-            color = jnp.where(shown[..., None], color, 0.0)
+            color = jnp.stack(
+                [jnp.where(shown, p, 0.0) for p in rgb_planes], axis=-1
+            )
             return RenderOutput(
                 color=color, depth=depth_out, hit=hit_img,
                 num_samples=num_img, overflow=overflow,
             )
 
-        def render_blocks(volume, maps: SensorMaps, brick_counts, calib,
-                          cam: CamParams, proj_models):
-            """Block-compacted surface march: the hot path."""
+        def fine_safe_field(pos_mask):
+            """Voxel-level Chebyshev clearance (0..skip_fine_rounds) to the
+            1-dilated positive set — pure local stencil, so the dist/ layer
+            can run it per shard on halo-extended slabs."""
+            fine_reach = _dilate3(pos_mask)
+            fine_safe = (~fine_reach).astype(jnp.float32)
+            for _ in range(c.skip_fine_rounds - 1):
+                fine_reach = _dilate3(fine_reach)
+                fine_safe = fine_safe + (~fine_reach).astype(jnp.float32)
+            return fine_safe
+
+        def brick_safe_field(occ):
+            """Brick-level Chebyshev clearance to the surface-brick set:
+            bsafe[b] = min(D-1, rounds) for a brick at Chebyshev brick
+            distance D. Drives both the sphere-traced scan and the
+            far-field skip sentinels (a voxel in a brick at distance D is
+            >= (D-1)*brick_vox + 1 voxels from any surface voxel)."""
+            reach = occ
+            bsafe = jnp.zeros(occ.shape, jnp.float32)
+            for _ in range(c.skip_brick_rounds):
+                reach = _dilate3(reach)
+                bsafe = bsafe + (~reach).astype(jnp.float32)
+            return bsafe
+
+        def sentinel_volume(volume, fine_safe, bsafe, limit, z0=0, zl=None):
+            """Bake skip sentinels -(2 + safe*h_min) into the volume. The
+            near field comes from a few dense dilations (exactly safe for
+            nearest sampling: a step of (d-1) voxel extents from a voxel
+            at Chebyshev distance d cannot reach a positive voxel), the
+            far field broadcast from the brick clearance — O(bricks)
+            instead of the 36 dense dilations of round 3. ``z0``/``zl``
+            select a z-slab of the brick field (dist/ shards call this per
+            shard)."""
+            (Bz, By, Bx), padded = tsdf.brick_layout(vol_shape, brick_vox)
+            Z, Y, X = vol_shape
+            bsv = (bsafe * brick_vox)[:, None, :, None, :, None]
+            bs_vox = jnp.broadcast_to(
+                bsv, (bsafe.shape[0], brick_vox, By, brick_vox, Bx, brick_vox)
+            ).reshape(bsafe.shape[0] * brick_vox, By * brick_vox,
+                      Bx * brick_vox)[:, :Y, :X]
+            if zl is not None:
+                bs_vox = jax.lax.dynamic_slice_in_dim(bs_vox, z0, zl, 0)
+            else:
+                bs_vox = bs_vox[:Z]
+            safe_field = jnp.maximum(fine_safe, bs_vox)
+            return jnp.where(
+                safe_field > 0.0, -(2.0 + safe_field * h_min), volume
+            )
+
+        skip_ = c.march_empty_skip and c.march_mode == "nearest"
+
+        def bake(volume, brick_counts, limit):
+            """volume -> (PackedVolume, surface-brick mask, brick clearance
+            field, sentinel clamp floor). The single-device form of the
+            march-volume bake; dist/ reproduces it shard-wise with halo
+            exchange."""
+            dil1 = _dilate3(volume > 0.0)
             if c.surface_skip:
-                occ = self._surface_brick_mask(volume)
+                occ = _brick_any(dil1, vol_shape, brick_vox)
             else:
                 occ = brick_ops.occupied_mask(
                     brick_counts, c.min_voxels_per_brick
                 )
-
-            skip = c.march_empty_skip and c.march_mode == "nearest"
-            Z, Y, X = vol_shape
-            if skip:
-                # per-frame Chebyshev distance-to-surface field baked into
-                # the volume as skip sentinels: voxels >= 2 voxels from any
-                # positive voxel store -(2.0 + safe_advance) and the march
-                # sphere-traces through them (advance = safe_advance in one
-                # iteration). Exactly safe for nearest sampling: a step of
-                # (d-1) voxel-extents from a voxel at Chebyshev distance d
-                # cannot reach a positive voxel. K dilations bound the
-                # field build to a few fused passes over the volume.
-                K = 12
-                h_min = 1.0 / max(vol_shape)
-                dil = volume > 0.0
-
-                def dilate1(m, ax):
-                    sl_lo = [slice(None)] * 3
-                    sl_lo[ax] = slice(1, None)
-                    sl_hi = [slice(None)] * 3
-                    sl_hi[ax] = slice(None, -1)
-                    pad_lo = [(0, 0)] * 3
-                    pad_lo[ax] = (0, 1)
-                    pad_hi = [(0, 0)] * 3
-                    pad_hi[ax] = (1, 0)
-                    return (
-                        m
-                        | jnp.pad(m[tuple(sl_lo)], pad_lo)
-                        | jnp.pad(m[tuple(sl_hi)], pad_hi)
-                    )
-
-                safe_steps = jnp.zeros(vol_shape, jnp.float32)
-                for _ in range(K):
-                    for ax in (0, 1, 2):
-                        dil = dilate1(dil, ax)
-                    safe_steps = safe_steps + (~dil).astype(jnp.float32)
-                vol_m = jnp.where(
-                    safe_steps > 0.0,
-                    -(2.0 + safe_steps * h_min),
-                    volume,
+            bsafe = brick_safe_field(occ)
+            if skip_:
+                vol_m = sentinel_volume(
+                    volume, fine_safe_field(volume > 0.0), bsafe, limit
                 )
-                packed = raymarch.PackedVolume.from_volume(vol_m)
-                floor = -c.tsdf_limit
-            else:
-                packed = raymarch.PackedVolume.from_volume(volume)
-                floor = None
+                return (raymarch.PackedVolume.from_volume(vol_m), occ, bsafe,
+                        -limit)
+            return (raymarch.PackedVolume.from_volume(volume), occ, bsafe,
+                    None)
+
+        def render_blocks(volume, maps: SensorMaps, brick_counts, calib,
+                          cam: CamParams, proj_models, limit):
+            """Block-compacted staged surface march: the hot path.
+
+            Stages: (1) sphere-traced brick scan -> per-block march
+            intervals; (2) one coarse density march per active block ->
+            3x3-pooled hit brackets; (3) bracketed fine march of all rays
+            in active blocks; (4) narrowing tail stages for unfinished
+            rays (grazing silhouette rays are the long tail); (5)
+            hit-compacted secant refine + shading.
+            """
+            baked = bake(volume, brick_counts, limit)
+            return render_from_baked(
+                baked, maps, calib, cam, proj_models, limit
+            )
+
+        def render_from_baked(baked, maps: SensorMaps, calib,
+                              cam: CamParams, proj_models, limit):
+            """March + shade + fill from an already-baked march volume —
+            the entry the dist/ layer uses after its shard-wise bake."""
+            Z, Y, X = vol_shape
+            skip = skip_
+            packed, occ, bsafe, floor = baked
 
             dn = ray_dirs(cam, Hp, Wp)                      # (Hp, Wp, 3)
             dirs_c = dn[ds // 2::ds, ds // 2::ds]           # block centers
 
-            first, last, s0, s1 = coarse_intervals(occ, cam, dirs_c)
+            first, last, s0, s1 = scan_intervals(occ, bsafe, cam, dirs_c)
             # conservative block interval: 3x3 min/max pooling over coarse
             # rays (including the box entry/exit, so a fine ray near the
             # block corner is never clamped to its neighbor's box — the
@@ -751,7 +933,11 @@ class TsdfPipeline:
             last = pool3(last, jnp.maximum)
             s0p = pool3(s0, jnp.minimum)
             s1p = pool3(s1, jnp.maximum)
-            pad = 1.5 * step_len
+            # scan discretization guard: the true dilated-set entry is at
+            # most one scan step before the first in-set sample, and the
+            # earliest surface voxel is at least ~the shell crossing past
+            # the entry
+            pad = 0.75 * step_len
             found = jnp.isfinite(first) & jnp.isfinite(last)
             s_start = jnp.maximum(first - pad, s0p)
             s_end = jnp.minimum(last + step_len + pad, s1p)
@@ -762,12 +948,65 @@ class TsdfPipeline:
             # blocks (bookkeeping is 16x cheaper than per-ray compaction and
             # all per-ray fetches become wide contiguous rows)
             flags = (length > 0.0).reshape(NB)
-            capB = min(NB, -(-int(NB * c.ray_compaction) // 8) * 8)
+            # floor of 2048 blocks: small images are simply fully covered
+            # (the fractional cap is a large-image economy)
+            capB = min(NB, max(-(-int(NB * c.ray_compaction) // 8) * 8, 2048))
             (blk_idx,) = jnp.nonzero(flags, size=capB, fill_value=NB)
             safe = jnp.minimum(blk_idx, NB - 1)
             live_b = blk_idx < NB
-            s_start_b = jnp.where(live_b, s_start.reshape(NB)[safe], 0.0)
-            len_b = jnp.where(live_b, length.reshape(NB)[safe], 0.0)
+
+            # ---- coarse density march: one center ray per active block --
+            dirs_cb = dirs_c.reshape(NB, 3)[safe]
+            sstart_c = jnp.where(live_b, s_start.reshape(NB)[safe], 0.0)
+            len_c = jnp.where(live_b, length.reshape(NB)[safe], 0.0)
+            pos0_c = cam.eye_vol + dirs_cb * sstart_c[:, None]
+            bhit, _, _, bst = raymarch.march(
+                packed, cam.eye_vol, dirs_cb, limit, max_steps,
+                (pos0_c, len_c), mode=c.march_mode, refine_nearest=False,
+                sentinel_skip=skip, return_state=True,
+            )
+            blo = sstart_c + bst[3]
+            bhi = sstart_c + bst[4]
+
+            # 3x3-pooled per-block hit brackets on the full block grid
+            big_f = jnp.float32(np.inf)
+            hit_g = jnp.zeros((NB,), jnp.float32).at[blk_idx].set(
+                bhit.astype(jnp.float32), mode="drop").reshape(Hb, Wb)
+            lo_g = jnp.full((NB,), big_f).at[blk_idx].set(
+                jnp.where(bhit, blo, big_f), mode="drop").reshape(Hb, Wb)
+            hi_g = jnp.full((NB,), -big_f).at[blk_idx].set(
+                jnp.where(bhit, bhi, -big_f), mode="drop").reshape(Hb, Wb)
+            all9 = pool3(hit_g, jnp.minimum) > 0.5
+            lo9 = pool3(lo_g, jnp.minimum)
+            hi9 = pool3(hi_g, jnp.maximum)
+            margin = c.bracket_margin_steps * sd
+            # trust the bracket only when every neighboring block ray hit,
+            # the bracket is narrow, and it starts close to the interval
+            # entry (a large gap means foreground geometry could hide
+            # between the coarse rays -> full-interval march); rays that
+            # miss inside the bracket continue to the full interval in the
+            # tail stages, so bracketing cannot drop geometry behind it
+            bracket_ok = (
+                all9
+                & ((hi9 - lo9) < c.bracket_max_steps * sd)
+                & ((lo9 - first) < 2.0 * brick_norm + pad)
+            )
+            f_start = jnp.where(
+                bracket_ok, jnp.maximum(lo9 - margin, s_start), s_start
+            )
+            len_brkt = jnp.where(
+                found & bracket_ok,
+                jnp.maximum(jnp.minimum(hi9 + margin, s_end) - f_start, 0.0),
+                length,
+            )
+            len_full = jnp.maximum(
+                jnp.where(found, s_end - f_start, 0.0), 0.0
+            )
+
+            # ---- fine march: all rays of active blocks ------------------
+            sstart_b = jnp.where(live_b, f_start.reshape(NB)[safe], 0.0)
+            lbrkt_b = jnp.where(live_b, len_brkt.reshape(NB)[safe], 0.0)
+            lfull_b = jnp.where(live_b, len_full.reshape(NB)[safe], 0.0)
 
             dn_blocks = (
                 dn.reshape(Hb, ds, Wb, ds, 3)
@@ -775,54 +1014,72 @@ class TsdfPipeline:
                 .reshape(NB, B2, 3)
             )
             dn_b = dn_blocks[safe]                          # (capB, B2, 3)
-            pos0 = cam.eye_vol + dn_b * s_start_b[:, None, None]
-            ray_len = jnp.broadcast_to(len_b[:, None], (capB, B2))
+            pos0 = cam.eye_vol + dn_b * sstart_b[:, None, None]
 
             R = capB * B2
             dn_f = dn_b.reshape(R, 3)
-            se = (pos0.reshape(R, 3), ray_len.reshape(R))
+            pos0_f = pos0.reshape(R, 3)
+            len_brkt_f = jnp.broadcast_to(
+                lbrkt_b[:, None], (capB, B2)).reshape(R)
+            len_full_f = jnp.broadcast_to(
+                lfull_b[:, None], (capB, B2)).reshape(R)
 
-            lead_steps = int(np.ceil((2.0 * pad + step_len) / sd))
-            two_phase = c.march_phase1_steps > 0
-            if two_phase:
-                p1 = c.march_phase1_steps + lead_steps
+            overflow2 = jnp.int32(0)
+            if c.march_phase1_steps > 0 and skip:
+                p1 = c.march_phase1_steps
                 hit, hit_pos, num, st = raymarch.march(
-                    packed, cam.eye_vol, dn_f, c.tsdf_limit, p1, se,
-                    mode=c.march_mode, refine_nearest=False,
-                    sentinel_skip=skip, return_state=True,
-                )
-                t1_, pt1, pv1, lo_t, hi_t = st
-                unfinished = (~hit) & (t1_ <= se[1]) & (se[1] > 0.0)
-                # without the sentinel sphere-tracing (parity mode), far
-                # more rays stay unfinished after phase 1 — give the tail
-                # half the full width instead of a quarter
-                cap2 = max(-(-R // (4 if skip else 2) // 8) * 8, 128)
-                (idx2,) = jnp.nonzero(unfinished, size=cap2, fill_value=R)
-                safe2 = jnp.minimum(idx2, R - 1)
-                len2 = jnp.where(idx2 < R, se[1][safe2], 0.0)
-                hit2, hit_pos2, num2, st2 = raymarch.march(
-                    packed, cam.eye_vol, dn_f[safe2], c.tsdf_limit,
-                    max_steps - p1, (se[0][safe2], len2), mode=c.march_mode,
-                    resume=(t1_[safe2], pt1[safe2], pv1[safe2]),
+                    packed, cam.eye_vol, dn_f, limit, p1,
+                    (pos0_f, len_brkt_f), mode=c.march_mode,
                     refine_nearest=False, sentinel_skip=skip,
                     return_state=True,
                 )
-                hit = hit.at[idx2].set(hit2, mode="drop")
-                hit_pos = hit_pos.at[idx2].set(hit_pos2, mode="drop")
-                lo_t = lo_t.at[idx2].set(st2[3], mode="drop")
-                hi_t = hi_t.at[idx2].set(st2[4], mode="drop")
-                num = num.at[idx2].add(num2, mode="drop")
-                overflow2 = jnp.maximum(
-                    jnp.sum(unfinished.astype(jnp.int32)) - cap2, 0
-                )
+                t_, pt_, pv_, lo_t, hi_t = st
+                # narrowing tail stages over the FULL interval: stage 1
+                # catches bracket-miss and ordinary edge rays, stage 2 runs
+                # the few grazing rays to exhaustion
+                budget_used = p1
+                stages = ((4, 3 * p1), (16, max_steps))
+                for divisor, budget in stages:
+                    steps = min(budget, max_steps - budget_used)
+                    if steps <= 0:
+                        break
+                    unfinished = (
+                        (~hit) & (t_ <= len_full_f) & (len_full_f > 0.0)
+                    )
+                    cap_t = max(-(-R // divisor // 8) * 8, min(R, 1024))
+                    (idx2,) = jnp.nonzero(
+                        unfinished, size=cap_t, fill_value=R
+                    )
+                    safe2 = jnp.minimum(idx2, R - 1)
+                    len2 = jnp.where(idx2 < R, len_full_f[safe2], 0.0)
+                    hit2, hit_pos2, num2, st2 = raymarch.march(
+                        packed, cam.eye_vol, dn_f[safe2], limit,
+                        steps, (pos0_f[safe2], len2), mode=c.march_mode,
+                        resume=(t_[safe2], pt_[safe2], pv_[safe2]),
+                        refine_nearest=False, sentinel_skip=skip,
+                        return_state=True,
+                    )
+                    budget_used += steps
+                    hit = hit.at[idx2].set(hit2, mode="drop")
+                    hit_pos = hit_pos.at[idx2].set(hit_pos2, mode="drop")
+                    num = num.at[idx2].add(num2, mode="drop")
+                    t_ = t_.at[idx2].set(st2[0], mode="drop")
+                    pt_ = pt_.at[idx2].set(st2[1], mode="drop")
+                    pv_ = pv_.at[idx2].set(st2[2], mode="drop")
+                    lo_t = lo_t.at[idx2].set(st2[3], mode="drop")
+                    hi_t = hi_t.at[idx2].set(st2[4], mode="drop")
+                    overflow2 = jnp.maximum(
+                        overflow2,
+                        jnp.sum(unfinished.astype(jnp.int32)) - cap_t,
+                    )
             else:
                 hit, hit_pos, num, st = raymarch.march(
-                    packed, cam.eye_vol, dn_f, c.tsdf_limit, max_steps, se,
-                    mode=c.march_mode, refine_nearest=False,
-                    sentinel_skip=skip, return_state=True,
+                    packed, cam.eye_vol, dn_f, limit, max_steps,
+                    (pos0_f, len_full_f), mode=c.march_mode,
+                    refine_nearest=False, sentinel_skip=skip,
+                    return_state=True,
                 )
                 lo_t, hi_t = st[3], st[4]
-                overflow2 = jnp.int32(0)
 
             # hit compaction: normals/color/shading run on the hit set only
             hit_frac = c.hit_compaction if c.hit_compaction > 0.0 else 1.0
@@ -836,14 +1093,14 @@ class TsdfPipeline:
             # bracket does not confirm the crossing keep the march's own
             # secant position (the reference's unrefined behavior).
             hp = raymarch.refine_crossing(
-                packed, se[0][safeH], dn_f[safeH], lo_t[safeH], hi_t[safeH],
+                packed, pos0_f[safeH], dn_f[safeH], lo_t[safeH], hi_t[safeH],
                 live_h, hit_pos[safeH],
                 clamp_floor=floor,
             )
 
             rgba_h, depth_h = self._shade_hits(
                 packed, live_h, hp, maps, calib, proj_models, cam, near, far,
-                clamp_floor=floor,
+                limit=limit, clamp_floor=floor,
             )
 
             rgba = (
@@ -887,22 +1144,34 @@ class TsdfPipeline:
             return finalize(rgba_img, depth_img, hit_img, num_img, overflow)
 
         def render_dense(volume, maps: SensorMaps, brick_counts, calib,
-                         cam: CamParams, proj_models):
+                         cam: CamParams, proj_models, limit):
             """Full-screen march without compaction: the parity/debug path
             (also used when bricking or space skipping is disabled)."""
             packed = raymarch.PackedVolume.from_volume(volume)
             dn = ray_dirs(cam, H, W)
             hit, hit_pos, num = raymarch.march(
-                packed, cam.eye_vol, dn, c.tsdf_limit, max_steps, None,
+                packed, cam.eye_vol, dn, limit, max_steps, None,
                 mode=c.march_mode,
             )
             rgba, depth_win = self._shade_hits(
                 packed, hit, hit_pos, maps, calib, proj_models, cam, near, far,
+                limit=limit,
             )
             overflow = jnp.zeros((3,), jnp.int32)
             return finalize(rgba, depth_win, hit, num, overflow)
 
         render = render_blocks if use_blocks else render_dense
+        # building blocks for the dist/ layer: shard-wise bake with halo
+        # exchange, then march from the gathered baked volume
+        render.bake = bake
+        render.render_from_baked = (
+            render_from_baked if use_blocks else None
+        )
+        render.fine_safe_field = fine_safe_field
+        render.brick_safe_field = brick_safe_field
+        render.sentinel_volume = sentinel_volume
+        render.uses_sentinels = skip_
+        render.use_blocks = use_blocks
         cam0 = CamParams.from_camera(camera, self.bbox)
         return render, cam0
 
@@ -916,20 +1185,34 @@ class TsdfPipeline:
         RenderOutput, jitted by default. The camera POSE is threaded through
         as arrays (CamParams), so per-frame navigation (OrbitNavigator,
         stereo eyes, the feedback channel) re-renders without recompiling;
-        pass ``camera=`` per call to move the view."""
-        render, cam0 = self.make_render_fn(camera, max_steps)
-        inner = jax.jit(render) if jit_compile else render
+        pass ``camera=`` per call to move the view. The renderer tracks the
+        pipeline's reconfiguration generation: after reconfigure()/
+        set_voxel_size() it rebuilds its traced program lazily on the next
+        call, so existing renderer handles stay valid."""
+        state = {"gen": None, "inner": None, "cam0": None}
+
+        def _ensure():
+            if state["gen"] != self._generation:
+                render, cam0 = self.make_render_fn(camera, max_steps)
+                state["inner"] = jax.jit(render) if jit_compile else render
+                state["cam0"] = cam0
+                state["gen"] = self._generation
 
         def renderer(volume, maps: SensorMaps, brick_counts=None,
-                     camera_pose: raymarch.ViewCamera = None):
-            cam = (
-                CamParams.from_camera(camera_pose, self.bbox)
-                if camera_pose is not None else cam0
-            )
+                     camera_pose=None):
+            _ensure()
+            if camera_pose is None:
+                cam = state["cam0"]
+            elif isinstance(camera_pose, CamParams):
+                cam = camera_pose
+            else:
+                cam = CamParams.from_camera(camera_pose, self.bbox)
             # calib + models resolved per call so update_calibration()
             # (pose refinement, runtime reconfig) takes effect without
             # rebuilding renderers
             pm = self._get_projection_models()
-            return inner(volume, maps, brick_counts, self.calib, cam, pm)
+            return state["inner"](
+                volume, maps, brick_counts, self.calib, cam, pm, self._limit
+            )
 
         return renderer
