@@ -452,6 +452,17 @@ def cmd_invert(args):
         print(f"wrote {out_path}")
 
 
+def cmd_warm(args):
+    """Run bench.py in compile-only mode: identical HLO by construction,
+    so the persistent cache entries it creates are the ones bench/app hit."""
+    import os
+    import subprocess
+
+    bench_py = Path(__file__).resolve().parent.parent / "bench.py"
+    env = dict(os.environ, RGBD_BENCH_COMPILE_ONLY="1")
+    subprocess.run([sys.executable, str(bench_py)], env=env, check=True)
+
+
 def cmd_record(args):
     """Synthesize a moving-sphere sequence into .stream files."""
     from .core.grid import BoundingBox
@@ -549,6 +560,13 @@ def main(argv=None):
     pi.add_argument("--voxel-size", type=float, default=0.01)
     pi.add_argument("--out")
     pi.set_defaults(fn=cmd_invert)
+
+    pw = sub.add_parser(
+        "warm",
+        help="pre-compile the default reference-scale programs into the "
+             "persistent XLA cache (bench/app then start in seconds)",
+    )
+    pw.set_defaults(fn=cmd_warm)
 
     pc = sub.add_parser("record", help="synthesize .stream recordings")
     pc.add_argument("--out", default="recordings")

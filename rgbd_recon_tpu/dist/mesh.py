@@ -190,7 +190,9 @@ def shard_compact_step(pipeline, camera, mesh: Mesh, axis_name: str = "z"):
             # must be device-local and rays traverse every z-slab
             vol_m = jax.lax.with_sharding_constraint(vol_m_pad[:Z], repl)
             baked = (
-                PackedVolume.from_volume(vol_m),
+                PackedVolume.from_volume(
+                    vol_m, dtype=render_fn.pack_dtype
+                ),
                 occ_pad[:Bz], bsafe_pad[:Bz], -limit,
             )
             out = render_fn.render_from_baked(

@@ -117,19 +117,33 @@ class PackedVolume:
     shape: Tuple[int, int, int]
 
     @classmethod
-    def from_volume(cls, volume: jnp.ndarray) -> "PackedVolume":
+    def from_volume(cls, volume: jnp.ndarray, dtype=None) -> "PackedVolume":
+        """``dtype=jnp.bfloat16`` halves the table (35 MB at reference
+        scale) and gathers ~1.3x faster (scripts/probe_gather_rates.py).
+        TSDF values are +-limit so the absolute rounding error is
+        ~limit * 2^-8 (~0.2 mm of surface position at reference scale);
+        skip sentinels must use the INTEGER encoding (-(2 + steps), exact
+        in bf16) rather than the scaled one."""
+        if dtype is not None:
+            volume = volume.astype(dtype)
         nxt = jnp.concatenate([volume[:, :, 1:], volume[:, :, -1:]], axis=2)
         pairs = jnp.stack([volume, nxt], axis=-1).reshape(-1, 2)
         return cls(pairs=pairs, shape=tuple(volume.shape))
 
     def sample_nearest(self, pos: jnp.ndarray) -> jnp.ndarray:
         """GL NEAREST semantics sample at normalized pos (..., 3)."""
+        return self.sample_nearest_p(pos[..., 0], pos[..., 1], pos[..., 2])
+
+    def sample_nearest_p(self, px, py, pz) -> jnp.ndarray:
+        """Planar-coordinate nearest sample: TPU lanes want (R,) component
+        arrays, not (R, 3) (a 3-wide minor axis runs at 3/128 lane
+        utilization and dominated the march's per-iteration cost)."""
         D, H, W = self.shape
-        xi = jnp.clip((pos[..., 0] * W).astype(jnp.int32), 0, W - 1)
-        yi = jnp.clip((pos[..., 1] * H).astype(jnp.int32), 0, H - 1)
-        zi = jnp.clip((pos[..., 2] * D).astype(jnp.int32), 0, D - 1)
+        xi = jnp.clip((px * W).astype(jnp.int32), 0, W - 1)
+        yi = jnp.clip((py * H).astype(jnp.int32), 0, H - 1)
+        zi = jnp.clip((pz * D).astype(jnp.int32), 0, D - 1)
         rows = self.pairs[(zi * H + yi) * W + xi]
-        return rows[..., 0]
+        return rows[..., 0].astype(jnp.float32)
 
     def sample_trilinear(self, pos: jnp.ndarray,
                          clamp_floor: float = None) -> jnp.ndarray:
@@ -139,10 +153,17 @@ class PackedVolume:
         the -2.0 skip sentinel of the marched volume (see
         TsdfPipeline: empty-brick skipping) back to the -limit truncation
         floor near skip-brick borders."""
+        return self.sample_trilinear_p(
+            pos[..., 0], pos[..., 1], pos[..., 2], clamp_floor=clamp_floor
+        )
+
+    def sample_trilinear_p(self, px, py, pz,
+                           clamp_floor: float = None) -> jnp.ndarray:
+        """Planar-coordinate trilinear sample (see sample_nearest_p)."""
         D, H, W = self.shape
-        cx = pos[..., 0] * W - 0.5
-        cy = pos[..., 1] * H - 0.5
-        cz = pos[..., 2] * D - 0.5
+        cx = px * W - 0.5
+        cy = py * H - 0.5
+        cz = pz * D - 0.5
         x0f, y0f, z0f = jnp.floor(cx), jnp.floor(cy), jnp.floor(cz)
         # left-edge clamp: both x taps resolve to texel 0 -> fx = 0
         fx = jnp.where(x0f < 0.0, 0.0, cx - x0f)
@@ -155,7 +176,7 @@ class PackedVolume:
         z1 = jnp.clip(z0f.astype(jnp.int32) + 1, 0, D - 1)
 
         def pair(z, y):
-            r = self.pairs[(z * H + y) * W + x0]
+            r = self.pairs[(z * H + y) * W + x0].astype(jnp.float32)
             if clamp_floor is not None:
                 r = jnp.maximum(r, clamp_floor)
             return r[..., 0] * (1.0 - fx) + r[..., 1] * fx
@@ -189,6 +210,7 @@ def march(
     mode: str = "trilinear",
     refine_nearest: bool = True,
     sentinel_skip: bool = False,
+    sentinel_scale: float = 1.0,
     resume=None,
     return_state: bool = False,
 ):
@@ -205,19 +227,22 @@ def march(
         nearest-field crossing — true everywhere except sub-voxel grazing
         contacts.
       sentinel_skip: when True, samples below the -2.0 SKIP SENTINEL
-        threshold encode a certified-safe advance distance
-        (value = -(2.0 + safe_advance); the pipeline bakes a per-frame
-        Chebyshev distance-to-surface field into the marched volume) and
-        the ray sphere-traces: advance = max(safe_advance, sample
-        distance) in one iteration. Sentinel samples are clamped back to
+        threshold encode a certified-safe advance STEP COUNT
+        (value = -(2.0 + safe_steps), an exact small integer even in a
+        bf16-packed volume; the pipeline bakes a per-frame Chebyshev
+        distance-to-surface field into the marched volume) and the ray
+        sphere-traces: advance = max(safe_steps * sentinel_scale, step)
+        in one iteration, where ``sentinel_scale`` is the conservative
+        voxel extent (1/max(shape)). Sentinel samples are clamped back to
         the -limit truncation floor for all density math, so hit logic
         matches reference semantics.
       resume: optional (t, prev_t, prev_density) per-ray state from an
         earlier march's return_state — continues those rays (the two-phase
         tail recompaction).
-      return_state: also return (t, prev_t, prev_density, lo_t, hi_t)
-        where [lo_t, hi_t] brackets the crossing for hit rays (arc lengths
-        from start_pos along the unit direction).
+      return_state: also return (t, prev_t, prev_density, lo_t, hi_t,
+        hit_t) where [lo_t, hi_t] brackets the crossing for hit rays and
+        hit_t is the in-march secant zero (arc lengths from start_pos
+        along the unit direction).
 
     Returns (hit (...) bool, hit_pos (..., 3), num_samples (...) int32
     [, state]).
@@ -229,15 +254,38 @@ def march(
     )
     nearest = mode == "nearest"
     sd = limit * 0.5
-    dn = ray_dirs_vol / jnp.linalg.norm(ray_dirs_vol, axis=-1, keepdims=True)
+    # PLANAR ray state: (R,) component arrays instead of (R, 3). A 3-wide
+    # minor axis runs at 3/128 TPU lane utilization, and the position
+    # update + index math execute every loop iteration — planar components
+    # cut the per-iteration elementwise cost ~40x.
+    if isinstance(ray_dirs_vol, tuple):
+        dnx, dny, dnz = ray_dirs_vol        # already unit length
+    else:
+        dn_ = ray_dirs_vol / jnp.linalg.norm(
+            ray_dirs_vol, axis=-1, keepdims=True
+        )
+        dnx, dny, dnz = dn_[..., 0], dn_[..., 1], dn_[..., 2]
 
     if start_end is None:
-        step_vec = dn * sd
-        t0, t1 = _intersect_unit_box(cam_pos_vol, step_vec)
+        cx0, cy0, cz0 = cam_pos_vol[0], cam_pos_vol[1], cam_pos_vol[2]
+
+        def slab(c0, d):
+            inv = 1.0 / (d * sd)
+            tb = inv * (0.0 - c0)
+            tt = inv * (1.0 - c0)
+            return jnp.minimum(tb, tt), jnp.maximum(tb, tt)
+
+        l0, h0 = slab(cx0, dnx)
+        l1, h1 = slab(cy0, dny)
+        l2, h2 = slab(cz0, dnz)
+        t0 = jnp.maximum(jnp.maximum(l0, l1), l2)
+        t1 = jnp.minimum(jnp.minimum(h0, h1), h2)
         is_t0 = t0 <= t1
         t_near = jnp.maximum(jnp.where(is_t0, t0, t1), 0.0)
         t_far = jnp.where(is_t0, t1, t0)
-        pos0 = cam_pos_vol + step_vec * t_near[..., None]
+        pos0x = cx0 + dnx * sd * t_near
+        pos0y = cy0 + dny * sd * t_near
+        pos0z = cz0 + dnz * sd * t_near
         # rays that never rasterize the cube's back faces spawn no
         # fragments in the reference (tsdf_raymarch runs on cube geometry)
         ray_len = jnp.where(
@@ -245,8 +293,12 @@ def march(
         )
     else:
         pos0, ray_len = start_end
+        if isinstance(pos0, tuple):
+            pos0x, pos0y, pos0z = pos0
+        else:
+            pos0x, pos0y, pos0z = pos0[..., 0], pos0[..., 1], pos0[..., 2]
 
-    batch = ray_dirs_vol.shape[:-1]
+    batch = dnx.shape
     if resume is not None:
         t_init, prev_t_init, prev_init = resume
     else:
@@ -276,8 +328,13 @@ def march(
     def body(carry):
         k, hit, t, prev_t, prev, hit_t, lo_t, hi_t, num = carry
         active = (~hit) & (t <= ray_len) & (ray_len > 0.0)
-        pos = pos0 + dn * t[..., None]
-        raw = packed.sample(pos, mode)
+        px = pos0x + dnx * t
+        py = pos0y + dny * t
+        pz = pos0z + dnz * t
+        if nearest:
+            raw = packed.sample_nearest_p(px, py, pz)
+        else:
+            raw = packed.sample_trilinear_p(px, py, pz)
         density = jnp.maximum(raw, -limit)  # neutralise the skip sentinel
         found = active & (density > 0.0)
         denom = density - prev
@@ -291,7 +348,9 @@ def march(
         hi_t = jnp.where(found, t, hi_t)
         if sentinel_skip:
             advance = jnp.where(
-                raw < -1.5, jnp.maximum(-raw - 2.0, sd), sd
+                raw < -1.5,
+                jnp.maximum((-raw - 2.0) * sentinel_scale, sd),
+                sd,
             )
         else:
             advance = sd
@@ -305,13 +364,19 @@ def march(
         cond, body, init
     )
 
-    hit_pos = pos0 + dn * hit_t[..., None]
+    hit_pos = jnp.stack(
+        [pos0x + dnx * hit_t, pos0y + dny * hit_t, pos0z + dnz * hit_t],
+        axis=-1,
+    )
 
     if nearest and refine_nearest:
-        hit_pos = refine_crossing(packed, pos0, dn, lo_t, hi_t, hit, hit_pos)
+        hit_pos = refine_crossing(
+            packed, (pos0x, pos0y, pos0z), (dnx, dny, dnz), lo_t, hi_t,
+            hit, hit_pos,
+        )
 
     if return_state:
-        return hit, hit_pos, num, (t, prev_t, prev, lo_t, hi_t)
+        return hit, hit_pos, num, (t, prev_t, prev, lo_t, hi_t, hit_t)
     return hit, hit_pos, num
 
 
@@ -329,17 +394,32 @@ def refine_crossing(
     [lo_t, hi_t]: reproduces the reference's secant on trilinear samples
     (tsdf_raymarch.fs:98-101) for hit rays. Separated out so callers that
     compact hits first (the pipeline) pay it only on the hit set.
-    ``clamp_floor`` neutralises the skip sentinel of a marched volume."""
-    p_hi = pos0 + dn * hi_t[..., None]
-    p_lo = pos0 + dn * lo_t[..., None]
-    v1 = packed.sample_trilinear(p_hi, clamp_floor=clamp_floor)
-    v0 = packed.sample_trilinear(p_lo, clamp_floor=clamp_floor)
+    ``clamp_floor`` neutralises the skip sentinel of a marched volume.
+    ``pos0``/``dn`` may be (..., 3) arrays or planar component tuples."""
+    if isinstance(pos0, tuple):
+        p0x, p0y, p0z = pos0
+    else:
+        p0x, p0y, p0z = pos0[..., 0], pos0[..., 1], pos0[..., 2]
+    if isinstance(dn, tuple):
+        dnx, dny, dnz = dn
+    else:
+        dnx, dny, dnz = dn[..., 0], dn[..., 1], dn[..., 2]
+    v1 = packed.sample_trilinear_p(
+        p0x + dnx * hi_t, p0y + dny * hi_t, p0z + dnz * hi_t,
+        clamp_floor=clamp_floor,
+    )
+    v0 = packed.sample_trilinear_p(
+        p0x + dnx * lo_t, p0y + dny * lo_t, p0z + dnz * lo_t,
+        clamp_floor=clamp_floor,
+    )
     denom = v1 - v0
     ok = hit & (v1 > 0.0) & (v0 <= 0.0)
     tstar = hi_t - (hi_t - lo_t) * (
         v1 / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
     )
-    refined = pos0 + dn * tstar[..., None]
+    refined = jnp.stack(
+        [p0x + dnx * tstar, p0y + dny * tstar, p0z + dnz * tstar], axis=-1
+    )
     return jnp.where(ok[..., None], refined, hit_pos)
 
 
@@ -377,7 +457,7 @@ def gradient_normal(volume, pos: jnp.ndarray, limit: float,
     return -g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-20)
 
 
-def _pack_pairs_2d(arrs) -> jnp.ndarray:
+def _pack_pairs_2d(arrs, dtype=None) -> jnp.ndarray:
     """Stack per-sensor channel maps into x-pair-packed rows: row (i, y, x)
     holds the channels at x AND at x+1 (edge-clamped), so one row gather
     fetches both x-taps of a bilinear corner pair — 2 gathers per sample
@@ -386,6 +466,9 @@ def _pack_pairs_2d(arrs) -> jnp.ndarray:
     so consumers gather per-sensor slices — small tables gather ~2x faster
     than one concatenated table."""
     base = jnp.stack(arrs, axis=-1) if isinstance(arrs, (list, tuple)) else arrs
+    if dtype is not None:
+        # colors are 8-bit wire data — bf16 rows halve the gather table
+        base = base.astype(dtype)
     N, H, W = base.shape[:3]
     nxt = jnp.concatenate([base[:, :, 1:], base[:, :, -1:]], axis=2)
     return jnp.concatenate([base, nxt], axis=-1).reshape(
@@ -405,8 +488,8 @@ def _pair_bilinear(table, Ht, Wt, uv):
     x0 = jnp.clip(x0f.astype(jnp.int32), 0, Wt - 1)
     y0 = jnp.clip(y0f.astype(jnp.int32), 0, Ht - 1)
     y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, Ht - 1)
-    r0 = table[y0 * Wt + x0]
-    r1 = table[y1 * Wt + x0]
+    r0 = table[y0 * Wt + x0].astype(jnp.float32)
+    r1 = table[y1 * Wt + x0].astype(jnp.float32)
     half = table.shape[-1] // 2
     c0 = r0[..., :half] * (1 - fx) + r0[..., half:] * fx
     c1 = r1[..., :half] * (1 - fx) + r1[..., half:] * fx
@@ -465,7 +548,8 @@ def blend_colors_fast(
     )
     dq4 = _pack_pairs_2d([depths, qualities])
     col8 = _pack_pairs_2d(
-        jnp.concatenate([colors, jnp.zeros_like(colors[..., :1])], axis=-1)
+        jnp.concatenate([colors, jnp.zeros_like(colors[..., :1])], axis=-1),
+        dtype=jnp.bfloat16,
     )
 
     def nearest_rows(vol, pos):
@@ -517,7 +601,8 @@ def blend_colors_analytic(
     )
     dq4 = _pack_pairs_2d([depths, qualities])
     col8 = _pack_pairs_2d(
-        jnp.concatenate([colors, jnp.zeros_like(colors[..., :1])], axis=-1)
+        jnp.concatenate([colors, jnp.zeros_like(colors[..., :1])], axis=-1),
+        dtype=jnp.bfloat16,
     )
 
     for i in range(N):

@@ -674,6 +674,15 @@ class TsdfPipeline:
             max_steps = int(np.ceil(np.sqrt(3.0) / (c.tsdf_limit * 0.5)))
         sd = c.tsdf_limit * 0.5
 
+        pack_dtype = (
+            jnp.bfloat16 if c.march_dtype == "bfloat16" else None
+        )
+        # grazing silhouette rays march near-parallel to the surface for
+        # hundreds of potential steps; bound the block march and the last
+        # tail stage (unfinished rays fall out as background — extreme
+        # grazers only; the reference's while(true) pays the full cost)
+        blk_budget = min(max_steps, 64)
+        tail_budget = min(max_steps, 10 * max(c.march_phase1_steps, 8) + 32)
         ds = max(int(c.interval_downsample), 1)
         Hp, Wp = -(-H // ds) * ds, -(-W // ds) * ds
         Hb, Wb = Hp // ds, Wp // ds
@@ -693,20 +702,25 @@ class TsdfPipeline:
         h_min = 1.0 / max(vol_shape)
         brick_norm = brick_vox * h_min
         step_len = c.interval_step_frac * brick_norm
-        n_scan_max = int(np.ceil(np.sqrt(3.0) / step_len)) + 2
+        n_scan = int(np.ceil(np.sqrt(3.0) / step_len)) + 2
 
         def ray_dirs(cam: CamParams, hh, ww):
-            """(hh, ww, 3) unit volume-space directions, from iota (camera
-            pose is data, not a compile-time constant)."""
+            """PLANAR unit volume-space directions: a tuple of three
+            (hh, ww) component planes, from iota (camera pose is data, not
+            a compile-time constant). Planar because a 3-wide minor axis
+            runs at 3/128 TPU lane utilization — the packed form cost
+            ~3 ms per frame just to generate."""
             xs = ((jnp.arange(ww, dtype=jnp.float32) + 0.5) / W * 2.0 - 1.0)
             ys = 1.0 - (jnp.arange(hh, dtype=jnp.float32) + 0.5) / H * 2.0
             xx, yy = jnp.meshgrid(xs * tan_half * aspect, ys * tan_half)
-            dirs_cam = jnp.stack([xx, yy, -jnp.ones_like(xx)], axis=-1)
-            dirs_world = dirs_cam @ cam.rot.T
-            dirs_vol = dirs_world / jnp.asarray(bbox_size)
-            return dirs_vol / jnp.linalg.norm(
-                dirs_vol, axis=-1, keepdims=True
-            )
+            # dirs_world[j] = dirs_cam . rot_row_j with dirs_cam z = -1
+            dv = [
+                (xx * cam.rot[j, 0] + yy * cam.rot[j, 1] - cam.rot[j, 2])
+                / float(bbox_size[j])
+                for j in range(3)
+            ]
+            inv_n = jax.lax.rsqrt(dv[0] ** 2 + dv[1] ** 2 + dv[2] ** 2)
+            return tuple(d * inv_n for d in dv)
 
         def surface_aabb(occ):
             """Normalized-coordinate AABB of the occupied bricks (dynamic,
@@ -737,58 +751,61 @@ class TsdfPipeline:
             -inf when the ray crossed only the dilated shell -> inactive)
             — the TPU re-design of the rasterized brick-hull depth peel
             (drawDepthLimits, recon_integration.cpp:409-429 +
-            glsl/bricks.{vs,gs,fs}). The scan sphere-traces on the
-            brick-level Chebyshev field ``bsafe`` (value s certifies the
-            dilated target set is >= s bricks away), so rays cross empty
-            space in O(occupied crossings + log) samples instead of
-            span/step samples."""
+            glsl/bricks.{vs,gs,fs}).
+
+            All samples of all rays are fetched in ONE parallel gather and
+            reduced along the sample axis: a serialized while-loop scan ran
+            at the in-loop dependent-gather rate (~55-80 M rows/s,
+            scripts/probe_while_cost.py) where one wide gather streams at
+            ~250 M rows/s from the brick-sized table. Sample spacing never
+            exceeds half the (conservative) brick edge, which cannot cross
+            the >= 2-brick-wide dilated slab around any surface brick
+            unsampled; spans shorter than the sample budget are sampled
+            proportionally finer."""
             Bz, By, Bx = occ.shape
             Z, Y, X = vol_shape
-            # scan field coding: -1 surface brick, 0 dilated shell,
-            # s >= 1 certified Chebyshev clearance
-            bpairs = raymarch.PackedVolume.from_volume(
-                jnp.where(occ, -1.0, bsafe)
-            )
+            # scan field coding: -1 surface brick, 0 dilated shell, +1 far
+            field = jnp.where(
+                occ, -1.0, jnp.where(bsafe == 0.0, 0.0, 1.0)
+            ).reshape(-1)
             box_min, box_max = surface_aabb(occ)
 
-            inv = 1.0 / dirs_c
-            tbot = inv * (box_min - cam.eye_vol)
-            ttop = inv * (box_max - cam.eye_vol)
-            s0 = jnp.max(jnp.minimum(ttop, tbot), axis=-1)
-            s1 = jnp.min(jnp.maximum(ttop, tbot), axis=-1)
+            dcx, dcy, dcz = dirs_c
+
+            def slab(c0, d, lo, hi):
+                inv = 1.0 / d
+                tb = inv * (lo - c0)
+                tt = inv * (hi - c0)
+                return jnp.minimum(tb, tt), jnp.maximum(tb, tt)
+
+            l0, h0 = slab(cam.eye_vol[0], dcx, box_min[0], box_max[0])
+            l1, h1 = slab(cam.eye_vol[1], dcy, box_min[1], box_max[1])
+            l2, h2 = slab(cam.eye_vol[2], dcz, box_min[2], box_max[2])
+            s0 = jnp.maximum(jnp.maximum(l0, l1), l2)
+            s1 = jnp.minimum(jnp.minimum(h0, h1), h2)
             valid = (s0 <= s1) & (s1 > 0.0)
             s0 = jnp.maximum(s0, 0.0)
             s1 = jnp.where(valid, s1, -1.0)
 
-            big = jnp.full(dirs_c.shape[:-1], np.inf, jnp.float32)
-            init = (jnp.int32(0), s0, big, -big)
-
-            def cond(carry):
-                k, t, first, last = carry
-                return (k < n_scan_max) & jnp.any(valid & (t <= s1))
-
-            def body(carry):
-                k, t, first, last = carry
-                inside = valid & (t <= s1)
-                pos = cam.eye_vol + dirs_c * t[..., None]
-                # brick membership via voxel index (floor semantics of
-                # inc_bricks.glsl get_id/index_3d)
-                bx = jnp.clip((pos[..., 0] * X).astype(jnp.int32) // brick_vox, 0, Bx - 1)
-                by = jnp.clip((pos[..., 1] * Y).astype(jnp.int32) // brick_vox, 0, By - 1)
-                bz = jnp.clip((pos[..., 2] * Z).astype(jnp.int32) // brick_vox, 0, Bz - 1)
-                s = bpairs.pairs[(bz * By + by) * Bx + bx][..., 0]
-                tgt = (s < 0.5) & inside          # dilated set (entry)
-                surf = (s < -0.5) & inside        # true surface brick
-                first = jnp.where(tgt & (t < first), t, first)
-                last = jnp.where(surf & (t > last), t, last)
-                # bsafe == s certifies the nearest target brick is >= s
-                # bricks away -> advancing (s-1) brick edges (conservative
-                # h_min scaling) cannot cross it
-                adv = jnp.maximum((s - 1.0) * brick_norm, step_len)
-                t = t + jnp.where(inside, adv, 1.0)
-                return (k + 1, t, first, last)
-
-            _, _, first, last = jax.lax.while_loop(cond, body, init)
+            ks = jnp.arange(n_scan, dtype=jnp.float32)
+            spacing = jnp.minimum((s1 - s0) / (n_scan - 1), step_len)
+            t = s0[..., None] + ks * spacing[..., None]     # (..., n_scan)
+            bx = jnp.clip(
+                ((cam.eye_vol[0] + dcx[..., None] * t) * X).astype(jnp.int32)
+                // brick_vox, 0, Bx - 1)
+            by = jnp.clip(
+                ((cam.eye_vol[1] + dcy[..., None] * t) * Y).astype(jnp.int32)
+                // brick_vox, 0, By - 1)
+            bz = jnp.clip(
+                ((cam.eye_vol[2] + dcz[..., None] * t) * Z).astype(jnp.int32)
+                // brick_vox, 0, Bz - 1)
+            s = field[(bz * By + by) * Bx + bx]             # one gather
+            inside = valid[..., None] & (t <= s1[..., None])
+            tgt = (s < 0.5) & inside
+            surf = (s < -0.5) & inside
+            big = jnp.float32(np.inf)
+            first = jnp.min(jnp.where(tgt, t, big), axis=-1)
+            last = jnp.max(jnp.where(surf, t, -big), axis=-1)
             return first, last, s0, jnp.where(valid, s1, 0.0)
 
         def pool3(x, op):
@@ -869,8 +886,10 @@ class TsdfPipeline:
             else:
                 bs_vox = bs_vox[:Z]
             safe_field = jnp.maximum(fine_safe, bs_vox)
+            # INTEGER sentinel encoding -(2 + steps): exact in bf16; the
+            # march rescales by sentinel_scale = h_min at decode
             return jnp.where(
-                safe_field > 0.0, -(2.0 + safe_field * h_min), volume
+                safe_field > 0.0, -(2.0 + safe_field), volume
             )
 
         skip_ = c.march_empty_skip and c.march_mode == "nearest"
@@ -892,10 +911,25 @@ class TsdfPipeline:
                 vol_m = sentinel_volume(
                     volume, fine_safe_field(volume > 0.0), bsafe, limit
                 )
-                return (raymarch.PackedVolume.from_volume(vol_m), occ, bsafe,
-                        -limit)
-            return (raymarch.PackedVolume.from_volume(volume), occ, bsafe,
-                    None)
+                packed = raymarch.PackedVolume.from_volume(
+                    vol_m, dtype=pack_dtype
+                )
+                # the packed table feeds MANY gather consumers (march
+                # stages, refine, shading); without a barrier XLA clones
+                # the whole dilation-bake chain into each of them (the
+                # same rematerialization pathology measured in holefill)
+                pairs, occ, bsafe = jax.lax.optimization_barrier(
+                    (packed.pairs, occ, bsafe)
+                )
+                packed = raymarch.PackedVolume(pairs=pairs,
+                                               shape=packed.shape)
+                return packed, occ, bsafe, -limit
+            packed = raymarch.PackedVolume.from_volume(volume)
+            pairs, occ, bsafe = jax.lax.optimization_barrier(
+                (packed.pairs, occ, bsafe)
+            )
+            return (raymarch.PackedVolume(pairs=pairs, shape=packed.shape),
+                    occ, bsafe, None)
 
         def render_blocks(volume, maps: SensorMaps, brick_counts, calib,
                           cam: CamParams, proj_models, limit):
@@ -921,18 +955,33 @@ class TsdfPipeline:
             skip = skip_
             packed, occ, bsafe, floor = baked
 
-            dn = ray_dirs(cam, Hp, Wp)                      # (Hp, Wp, 3)
-            dirs_c = dn[ds // 2::ds, ds // 2::ds]           # block centers
+            dn = ray_dirs(cam, Hp, Wp)          # 3x (Hp, Wp) planes
+            dirs_c = tuple(d[ds // 2::ds, ds // 2::ds] for d in dn)
 
-            first, last, s0, s1 = scan_intervals(occ, bsafe, cam, dirs_c)
-            # conservative block interval: 3x3 min/max pooling over coarse
-            # rays (including the box entry/exit, so a fine ray near the
-            # block corner is never clamped to its neighbor's box — the
-            # round-2 t_near/t_far broadcast bug)
-            first = pool3(first, jnp.minimum)
-            last = pool3(last, jnp.maximum)
-            s0p = pool3(s0, jnp.minimum)
-            s1p = pool3(s1, jnp.maximum)
+            # interval scan at HALF block resolution (one ray per 2x2
+            # blocks = 8x8 pixels): the 3x3 pooling below then covers a
+            # +-1 coarse-cell = +-2 block neighborhood of every block, so
+            # the conservative guarantee is preserved with 4x fewer scan
+            # rays; the per-block density march re-tightens the brackets
+            sc = 2
+            first_c, last_c, s0_c, s1_c = scan_intervals(
+                occ, bsafe, cam, tuple(d[::sc, ::sc] for d in dirs_c)
+            )
+
+            def upc(xc, op):
+                # conservative block interval: 3x3 min/max pooling over
+                # coarse rays (including the box entry/exit, so a fine ray
+                # near the block corner is never clamped to its neighbor's
+                # box — the round-2 t_near/t_far broadcast bug), then
+                # nearest upsample back to the block grid
+                p = pool3(xc, op)
+                r = jnp.repeat(jnp.repeat(p, sc, axis=0), sc, axis=1)
+                return r[:Hb, :Wb]
+
+            first = upc(first_c, jnp.minimum)
+            last = upc(last_c, jnp.maximum)
+            s0p = upc(s0_c, jnp.minimum)
+            s1p = upc(s1_c, jnp.maximum)
             # scan discretization guard: the true dilated-set entry is at
             # most one scan step before the first in-set sample, and the
             # earliest surface voxel is at least ~the shell crossing past
@@ -956,14 +1005,16 @@ class TsdfPipeline:
             live_b = blk_idx < NB
 
             # ---- coarse density march: one center ray per active block --
-            dirs_cb = dirs_c.reshape(NB, 3)[safe]
+            dirs_cb = tuple(d.reshape(NB)[safe] for d in dirs_c)
             sstart_c = jnp.where(live_b, s_start.reshape(NB)[safe], 0.0)
             len_c = jnp.where(live_b, length.reshape(NB)[safe], 0.0)
-            pos0_c = cam.eye_vol + dirs_cb * sstart_c[:, None]
+            pos0_c = tuple(
+                cam.eye_vol[i] + dirs_cb[i] * sstart_c for i in range(3)
+            )
             bhit, _, _, bst = raymarch.march(
-                packed, cam.eye_vol, dirs_cb, limit, max_steps,
+                packed, cam.eye_vol, dirs_cb, limit, blk_budget,
                 (pos0_c, len_c), mode=c.march_mode, refine_nearest=False,
-                sentinel_skip=skip, return_state=True,
+                sentinel_skip=skip, sentinel_scale=h_min, return_state=True,
             )
             blo = sstart_c + bst[3]
             bhi = sstart_c + bst[4]
@@ -1008,78 +1059,111 @@ class TsdfPipeline:
             lbrkt_b = jnp.where(live_b, len_brkt.reshape(NB)[safe], 0.0)
             lfull_b = jnp.where(live_b, len_full.reshape(NB)[safe], 0.0)
 
-            dn_blocks = (
-                dn.reshape(Hb, ds, Wb, ds, 3)
-                .transpose(0, 2, 1, 3, 4)
-                .reshape(NB, B2, 3)
-            )
-            dn_b = dn_blocks[safe]                          # (capB, B2, 3)
-            pos0 = cam.eye_vol + dn_b * sstart_b[:, None, None]
-
             R = capB * B2
-            dn_f = dn_b.reshape(R, 3)
-            pos0_f = pos0.reshape(R, 3)
+
+            def to_rays(plane):
+                blocks = (
+                    plane.reshape(Hb, ds, Wb, ds)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(NB, B2)
+                )
+                return blocks[safe].reshape(R)
+
+            dn_f = tuple(to_rays(d) for d in dn)
+            sstart_f = jnp.broadcast_to(
+                sstart_b[:, None], (capB, B2)).reshape(R)
+            pos0_f = tuple(
+                cam.eye_vol[i] + dn_f[i] * sstart_f for i in range(3)
+            )
             len_brkt_f = jnp.broadcast_to(
                 lbrkt_b[:, None], (capB, B2)).reshape(R)
             len_full_f = jnp.broadcast_to(
                 lfull_b[:, None], (capB, B2)).reshape(R)
 
+            # Per-ray constants + march state kept as PACKED 8-wide rows
+            # across every compaction boundary: the tail/hit compactions
+            # then cost ONE wide-row gather (and one wide scatter) instead
+            # of 8+ narrow ones (1-wide gathers run at less than half the
+            # row rate — scripts/probe_gather_rates.py; the narrow form
+            # measured ~7 ms of pure compaction traffic in the trace).
+            ray8 = jnp.stack(
+                [pos0_f[0], pos0_f[1], pos0_f[2],
+                 dn_f[0], dn_f[1], dn_f[2], len_full_f, len_brkt_f],
+                axis=-1,
+            )
+
             overflow2 = jnp.int32(0)
             if c.march_phase1_steps > 0 and skip:
                 p1 = c.march_phase1_steps
-                hit, hit_pos, num, st = raymarch.march(
+                hit, _, num, st = raymarch.march(
                     packed, cam.eye_vol, dn_f, limit, p1,
                     (pos0_f, len_brkt_f), mode=c.march_mode,
                     refine_nearest=False, sentinel_skip=skip,
-                    return_state=True,
+                    sentinel_scale=h_min, return_state=True,
                 )
-                t_, pt_, pv_, lo_t, hi_t = st
+                st8 = jnp.stack(
+                    [st[0], st[1], st[2], st[3], st[4], st[5],
+                     hit.astype(jnp.float32), num.astype(jnp.float32)],
+                    axis=-1,
+                )
                 # narrowing tail stages over the FULL interval: stage 1
                 # catches bracket-miss and ordinary edge rays, stage 2 runs
                 # the few grazing rays to exhaustion
                 budget_used = p1
-                stages = ((4, 3 * p1), (16, max_steps))
+                stages = ((3, 3 * p1), (10, tail_budget))
                 for divisor, budget in stages:
                     steps = min(budget, max_steps - budget_used)
                     if steps <= 0:
                         break
                     unfinished = (
-                        (~hit) & (t_ <= len_full_f) & (len_full_f > 0.0)
+                        (st8[:, 6] < 0.5)
+                        & (st8[:, 0] <= ray8[:, 6])
+                        & (ray8[:, 6] > 0.0)
                     )
                     cap_t = max(-(-R // divisor // 8) * 8, min(R, 1024))
                     (idx2,) = jnp.nonzero(
                         unfinished, size=cap_t, fill_value=R
                     )
                     safe2 = jnp.minimum(idx2, R - 1)
-                    len2 = jnp.where(idx2 < R, len_full_f[safe2], 0.0)
-                    hit2, hit_pos2, num2, st2 = raymarch.march(
-                        packed, cam.eye_vol, dn_f[safe2], limit,
-                        steps, (pos0_f[safe2], len2), mode=c.march_mode,
-                        resume=(t_[safe2], pt_[safe2], pv_[safe2]),
+                    rg = ray8[safe2]
+                    sg = st8[safe2]
+                    len2 = jnp.where(idx2 < R, rg[:, 6], 0.0)
+                    hit2, _, num2, st2 = raymarch.march(
+                        packed, cam.eye_vol,
+                        (rg[:, 3], rg[:, 4], rg[:, 5]), limit, steps,
+                        ((rg[:, 0], rg[:, 1], rg[:, 2]), len2),
+                        mode=c.march_mode,
+                        resume=(sg[:, 0], sg[:, 1], sg[:, 2]),
                         refine_nearest=False, sentinel_skip=skip,
-                        return_state=True,
+                        sentinel_scale=h_min, return_state=True,
                     )
                     budget_used += steps
-                    hit = hit.at[idx2].set(hit2, mode="drop")
-                    hit_pos = hit_pos.at[idx2].set(hit_pos2, mode="drop")
-                    num = num.at[idx2].add(num2, mode="drop")
-                    t_ = t_.at[idx2].set(st2[0], mode="drop")
-                    pt_ = pt_.at[idx2].set(st2[1], mode="drop")
-                    pv_ = pv_.at[idx2].set(st2[2], mode="drop")
-                    lo_t = lo_t.at[idx2].set(st2[3], mode="drop")
-                    hi_t = hi_t.at[idx2].set(st2[4], mode="drop")
+                    new8 = jnp.stack(
+                        [st2[0], st2[1], st2[2], st2[3], st2[4], st2[5],
+                         hit2.astype(jnp.float32),
+                         sg[:, 7] + num2.astype(jnp.float32)],
+                        axis=-1,
+                    )
+                    st8 = st8.at[idx2].set(new8, mode="drop")
                     overflow2 = jnp.maximum(
                         overflow2,
                         jnp.sum(unfinished.astype(jnp.int32)) - cap_t,
                     )
             else:
-                hit, hit_pos, num, st = raymarch.march(
+                hit, _, num, st = raymarch.march(
                     packed, cam.eye_vol, dn_f, limit, max_steps,
                     (pos0_f, len_full_f), mode=c.march_mode,
                     refine_nearest=False, sentinel_skip=skip,
-                    return_state=True,
+                    sentinel_scale=h_min, return_state=True,
                 )
-                lo_t, hi_t = st[3], st[4]
+                st8 = jnp.stack(
+                    [st[0], st[1], st[2], st[3], st[4], st[5],
+                     hit.astype(jnp.float32), num.astype(jnp.float32)],
+                    axis=-1,
+                )
+
+            hit = st8[:, 6] > 0.5
+            num = st8[:, 7].astype(jnp.int32)
 
             # hit compaction: normals/color/shading run on the hit set only
             hit_frac = c.hit_compaction if c.hit_compaction > 0.0 else 1.0
@@ -1087,14 +1171,22 @@ class TsdfPipeline:
             (hit_idx,) = jnp.nonzero(hit, size=capH, fill_value=R)
             safeH = jnp.minimum(hit_idx, R - 1)
             live_h = hit_idx < R
+            rh = ray8[safeH]
+            sh = st8[safeH]
+            pos0_h = (rh[:, 0], rh[:, 1], rh[:, 2])
+            dn_h = (rh[:, 3], rh[:, 4], rh[:, 5])
+            hit_pos_h = jnp.stack(
+                [rh[:, i] + rh[:, 3 + i] * sh[:, 5] for i in range(3)],
+                axis=-1,
+            )
             # secant refinement at the crossing bracket, paid per HIT
             # (trilinear samples — exact for parity mode too: the secant of
             # the same bracket on the same field). Rays whose trilinear
             # bracket does not confirm the crossing keep the march's own
             # secant position (the reference's unrefined behavior).
             hp = raymarch.refine_crossing(
-                packed, pos0_f[safeH], dn_f[safeH], lo_t[safeH], hi_t[safeH],
-                live_h, hit_pos[safeH],
+                packed, pos0_h, dn_h, sh[:, 3], sh[:, 4],
+                live_h, hit_pos_h,
                 clamp_floor=floor,
             )
 
@@ -1172,6 +1264,7 @@ class TsdfPipeline:
         render.sentinel_volume = sentinel_volume
         render.uses_sentinels = skip_
         render.use_blocks = use_blocks
+        render.pack_dtype = pack_dtype if skip_ else None
         cam0 = CamParams.from_camera(camera, self.bbox)
         return render, cam0
 
