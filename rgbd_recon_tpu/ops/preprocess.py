@@ -438,7 +438,8 @@ def lab_colors(
     N, H, W = depth_norm.shape
     Hc, Wc = colors.shape[1:3]
     col8 = _pack_pairs_2d(
-        jnp.concatenate([colors, jnp.zeros_like(colors[..., :1])], axis=-1)
+        jnp.concatenate([colors, jnp.zeros_like(colors[..., :1])], axis=-1),
+        dtype=jnp.bfloat16,
     )
     # degenerate-depth pixels use the far plane (pre_depth.fs:136's z=1.0).
     # The volume path clamps z=1.0 to the last texel plane (GL

@@ -685,6 +685,13 @@ def blend_colors_normal(
       variant="deviation":  weight_i = normalDev_i / dist_i  (:295, the
         active line) with normalDev_i = min(dot(-normal, normals_i), 0)
         (getNormalDev, :195-204 — the <= 0 weights are a faithful quirk);
+        DELIBERATE DEVIATION: the reference never resets total_weight
+        between blendColors2's two loops, so its denominator additionally
+        carries the first loop's quality weights (:266-301) — an
+        accumulator-reuse artifact of the shader, not a designed formula.
+        We normalize by the deviation weights alone, which keeps the blend
+        a true weighted average (the reference's colors are uniformly
+        darkened by the stale quality sum);
       variant="best_two":   weight_i = normalTwo_i / dist_i  (:293, the
         commented "sharper" line) where normalTwo selects the two sensors
         with the most-negative deviation (getNormalTwo, :221-244).

@@ -372,12 +372,16 @@ def _fold_and_scatter(
     v = brick_vox
     num_bricks = Bz * By * Bx
 
+    # one explicit relayout to channel-planes: the fold would otherwise
+    # strided-read the 4-wide minor axis once per sensor per channel
+    vals_p = jnp.moveaxis(vals, -1, 0)       # (4, N, K, V)
+    proj_z = jnp.moveaxis(proj[..., 2:3], -1, 0)[0]   # (N, K, V)
     tsd = jnp.full((K, V), limit, jnp.float32)
     total_w = jnp.zeros_like(tsd)
     for i in range(N):
         tsd, total_w = _fuse_sensor(
-            tsd, total_w, proj[i, ..., 2], vals[i, ..., 0], vals[i, ..., 1],
-            vals[i, ..., 2], in_frustum[i], limit, carve_sil_threshold,
+            tsd, total_w, proj_z[i], vals_p[0, i], vals_p[1, i],
+            vals_p[2, i], in_frustum[i], limit, carve_sil_threshold,
         )
 
     if not phantom_hull:

@@ -258,6 +258,11 @@ class TsdfPipeline:
             refine=c.refine,
             pixel_models=pixel_models,
         )
+        # the maps feed several consumers (mark, and integrate when traced
+        # as one program); barrier against XLA recomputing the stencil
+        # chain per consumer (the rematerialization pathology measured in
+        # holefill/bake)
+        maps = jax.lax.optimization_barrier(maps)
         counts = self._mark_bricks(calib, pixel_models, maps)
         return maps, counts
 
