@@ -171,11 +171,25 @@ def shard_compact_step(pipeline, camera, mesh: Mesh, axis_name: str = "z"):
 
         if use_baked:
             pos = vol_pad > 0.0
-            ext = halo_exchange_z(pos, mesh, halo=Kf, axis_name=axis_name)
-            fine = shard_map(
-                local_fine, mesh=mesh, in_specs=(sh,), out_specs=sh,
-                check_rep=False,
-            )(ext)
+            if Kf < Zl:
+                ext = halo_exchange_z(
+                    pos, mesh, halo=Kf, axis_name=axis_name
+                )
+                fine = shard_map(
+                    local_fine, mesh=mesh, in_specs=(sh,), out_specs=sh,
+                    check_rep=False,
+                )(ext)
+            else:
+                # ghost width exceeds the local slab (tiny volumes/many
+                # shards): single-hop halo exchange cannot source the
+                # ghosts — compute the fine field from the gathered mask
+                # (identical math; such volumes are small by construction)
+                fine = jax.lax.with_sharding_constraint(
+                    render_fn.fine_safe_field(
+                        jax.lax.with_sharding_constraint(pos, repl)
+                    ),
+                    shz,
+                )
             occ_pad = shard_map(
                 local_occ, mesh=mesh, in_specs=(sh,), out_specs=P(),
                 check_rep=False,

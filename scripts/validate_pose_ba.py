@@ -74,12 +74,47 @@ def calib_error_mm(calib_cur):
 
 
 volume, maps, counts = pipe.fuse(frames)
-print("calib error before (mm/sensor):",
-      np.round(calib_error_mm(pipe.calib), 1), flush=True)
+err0 = calib_error_mm(pipe.calib)
+print("calib error before (mm/sensor):", np.round(err0, 1), flush=True)
 print("refining (3 alternating rounds)...", flush=True)
-poses, hist = pipe.refine_sensor_poses(maps, counts, iters=8, rounds=3,
-                                       frames=frames)
-err = calib_error_mm(pipe.calib)
-print("calib error after  (mm/sensor):", np.round(err, 1))
+err_rounds = []
+for r in range(3):
+    poses, hist = pipe.refine_sensor_poses(maps, counts, iters=8, rounds=1,
+                                           frames=frames)
+    err_rounds.append(calib_error_mm(pipe.calib))
+    print(f"round {r + 1}: calib error (mm/sensor) "
+          f"{np.round(err_rounds[-1], 1)}", flush=True)
+    _, maps, counts = pipe.fuse(frames)
+err = err_rounds[-1]
 print(f"injected: 31.6 mm / 2 deg on sensor 1; residual lookup error "
       f"{err[1]:.1f} mm (others {err[[0, 2, 3]].round(1)})")
+
+lines = [
+    "# Pose-BA validation at reference scale",
+    "",
+    "4 sensors, 512x424 depth, 1 cm voxels / 10 cm bricks, tsdf_limit",
+    "0.01. Sensor 1 injected with a COMBINED drift: 2 deg rotation about",
+    "y plus [30, 0, 10] mm translation (31.6 mm net). Recovery via",
+    "leave-one-out consensus Gauss-Newton (8 LM iterations per round, 3",
+    "alternating refine->apply->refuse rounds; worst-sensor-only apply).",
+    "",
+    "Mean calibration-lookup displacement vs ground truth (mm/sensor):",
+    "",
+    "| stage | s0 | s1 (drifted) | s2 | s3 |",
+    "|---|---|---|---|---|",
+    "| before | " + " | ".join(f"{v:.1f}" for v in err0) + " |",
+]
+for r, e in enumerate(err_rounds):
+    lines.append(
+        f"| round {r + 1} | " + " | ".join(f"{v:.1f}" for v in e) + " |"
+    )
+lines += [
+    "",
+    f"Sensor 1 recovered from {err0[1]:.1f} mm to {err[1]:.1f} mm mean",
+    "lookup error; the undrifted sensors stay at their baseline (the",
+    "worst-only apply policy never moves them). Run on "
+    + str(jax.devices()[0]) + ".",
+]
+with open("pose_ba_validation.md", "w") as f:
+    f.write("\n".join(lines) + "\n")
+print("wrote pose_ba_validation.md")

@@ -59,6 +59,9 @@ def small_setup():
     frames = render_rig_frames(SyntheticScene(spheres=[((0.0, 1.1, 0.0), 0.55)]), rig)
     cfg = PipelineConfig(voxel_size=0.0625, brick_size=0.25, tsdf_limit=0.02,
                          integrate_taps="bilinear",  # dense sharded path is bilinear
+                         # ghost width < the 4-voxel local slab at 8 shards
+                         # -> the sharded bake takes the HALO-EXCHANGE path
+                         skip_fine_rounds=3,
                          num_lods=4)
     pipe = TsdfPipeline(calib, cfg, BBOX)
     return pipe, frames
@@ -96,3 +99,22 @@ def test_sharded_volume_actually_sharded(small_setup):
     # the volume's sharding must partition axis 0 over the mesh
     shardings = {s.device for s in volume_sh.addressable_shards}
     assert len(shardings) == 8
+
+
+def test_refine_poses_psum_matches_single(small_setup):
+    """The psum-reduced normal equations under the mesh produce the same
+    pose corrections as the single-device solver."""
+    from rgbd_recon_tpu.refine import pose_ba
+
+    pipe, frames = small_setup
+    volume, maps, counts = pipe.fuse(frames)
+    poses_s, _ = pose_ba.refine_poses(
+        pipe.calib, maps, volume, pipe.config.tsdf_limit, iters=2
+    )
+    mesh = make_mesh(8)
+    poses_m, _ = pose_ba.refine_poses(
+        pipe.calib, maps, volume, pipe.config.tsdf_limit, iters=2, mesh=mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(poses_m), np.asarray(poses_s), atol=5e-5
+    )
