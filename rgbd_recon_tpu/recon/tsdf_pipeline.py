@@ -374,9 +374,40 @@ class TsdfPipeline:
         pm = self._get_pixel_models(frames.depths.shape[1:3])
         return self._preprocess(self.calib, pm, frames)
 
-    def integrate(self, maps: SensorMaps, brick_counts: jnp.ndarray) -> jnp.ndarray:
+    def integrate(self, maps: SensorMaps, brick_counts: jnp.ndarray,
+                  limit=None) -> jnp.ndarray:
+        """``limit`` overrides the truncation band for this call only (a
+        traced scalar — no recompile); pose refinement fuses wide-band
+        volumes for its coarse-to-fine schedule."""
         return self._integrate(
-            self.calib, self.projections, maps, brick_counts, self._limit
+            self.calib, self.projections, maps, brick_counts,
+            self._limit if limit is None else jnp.float32(limit),
+        )
+
+    def integrate_dense(self, maps: SensorMaps, limit=None) -> jnp.ndarray:
+        """Dense (unbricked, unmasked) integration at an arbitrary
+        truncation band. Pose refinement uses this for its wide-band
+        coarse-to-fine volumes: the compact fast path materializes only
+        occupied-brick voxels, which cannot represent a band wider than
+        ~one brick — sampled there, a wide-band TSDF reads the clear
+        value almost everywhere and Gauss-Newton walks on garbage."""
+        if not hasattr(self, "_integrate_dense_jit"):
+            shape = self.volume_grid.shape
+            c = self.config
+
+            def impl(calib, maps, limit):
+                return tsdf.integrate(
+                    shape, calib.cv_xyz_inv, maps.depth[..., 0],
+                    maps.quality, maps.silhouette, limit,
+                    voxel_mask=None, projections=None,
+                    carve_sil_threshold=c.carve_sil_threshold,
+                    phantom_hull=c.phantom_hull,
+                )
+
+            self._integrate_dense_jit = jax.jit(impl)
+        return self._integrate_dense_jit(
+            self.calib, maps,
+            self._limit if limit is None else jnp.float32(limit),
         )
 
     def fuse(self, frames: FrameSet):
@@ -442,6 +473,7 @@ class TsdfPipeline:
             self._limit = jnp.float32(self.config.tsdf_limit)
         if reshape:
             self._build_grids()
+            self.__dict__.pop("_integrate_dense_jit", None)
         self._rebuild_jits()
         self._generation += 1
 
@@ -467,7 +499,8 @@ class TsdfPipeline:
     def refine_sensor_poses(self, maps: SensorMaps, brick_counts,
                             iters: int = 5, apply: bool = True,
                             rounds: int = 1, frames: FrameSet = None,
-                            worst_only: bool = True):
+                            worst_only: bool = True,
+                            band_schedule=(4.0, 2.0, 1.0)):
         """Estimate per-sensor 6-DoF corrections against the leave-one-out
         consensus surfaces and (optionally) apply them to the calibration —
         the full drift-correction loop (north-star capability; the
@@ -480,23 +513,54 @@ class TsdfPipeline:
         minimization converges.
 
         ``worst_only`` applies only the correction of the sensor with the
-        highest consensus residual each round. For the typical failure
-        (ONE sensor drifted), this is the well-posed form: the outlier is
-        aligned against the mutually-consistent others, while correcting
-        everyone at once lets the outlier's contamination and the rig-wide
-        gauge smear corrections across good sensors.
+        highest consensus residual each round — and only when that
+        residual stands clearly above the rig's median (1.25x), so a
+        healthy rig is never 'corrected' on voxelization noise. For the
+        typical failure (ONE sensor drifted), this is the well-posed
+        form: the outlier is aligned against the mutually-consistent
+        others, while correcting everyone at once lets the outlier's
+        contamination and the rig-wide gauge smear corrections across
+        good sensors.
+
+        ``band_schedule`` widens the truncation band of the per-round
+        leave-one-out volumes (coarse-to-fine): a drift near the band
+        limit leaves most surface points OUTSIDE the band, biasing the
+        active set and stalling Gauss-Newton; a 4x band captures the
+        whole displacement smoothly, later rounds tighten for precision.
+        The band is a traced scalar, so wide-band fusion costs no
+        recompilation.
 
         Returns (poses of the LAST round (N, 6), residual history)."""
         from ..refine import pose_ba
 
+        # consume the schedule from the END: rounds=1 refines at the
+        # nominal band; rounds >= len(schedule) walks coarse-to-fine
+        n_rounds = max(rounds, 1)
+        sched = list(band_schedule) if band_schedule else [1.0]
+        if n_rounds <= len(sched):
+            sched = sched[len(sched) - n_rounds:]
+        else:
+            sched = [sched[0]] * (n_rounds - len(sched)) + sched
+
         poses = history = None
-        for r in range(max(rounds, 1)):
-            vols = pose_ba.leave_one_out_volumes(self, maps, brick_counts)
+        total = None
+        for r in range(n_rounds):
+            band = self.config.tsdf_limit * float(sched[r])
+            vols = pose_ba.leave_one_out_volumes(
+                self, maps, brick_counts, limit=band
+            )
             poses, history = pose_ba.refine_poses(
-                self.calib, maps, None, self.config.tsdf_limit, iters=iters,
-                volumes=vols,
+                self.calib, maps, None, band, iters=iters,
+                volumes=vols, init=None if apply else total,
+                # trim unknown-region contamination at half band, but
+                # never tighter than the nominal limit (1x rounds keep
+                # the classic saturation-excluding mask)
+                mask_floor=-max(band * 0.5, self.config.tsdf_limit * 0.999),
             )
             if worst_only:
+                # rank at the NOMINAL limit (saturation-aware clamp): the
+                # wide band serves the solver; misalignment ranking is
+                # sharpest at the tight band
                 res = pose_ba.pose_residual_stats(
                     self.calib, maps, None, self.config.tsdf_limit,
                     volumes=vols,
@@ -504,12 +568,25 @@ class TsdfPipeline:
                 worst = jnp.argmax(res)
                 sel = (jnp.arange(poses.shape[0]) == worst)[:, None]
                 poses = jnp.where(sel, poses, 0.0)
+                if apply:
+                    # destructive path only: require the worst sensor to
+                    # stand clearly above the rig's noise floor, so a
+                    # healthy rig is never 'corrected' on voxelization
+                    # noise (estimates are still returned ungated). The
+                    # saturation-aware ranking compresses ratios (the
+                    # floor sits at a large fraction of the clamp), so
+                    # the margin is small.
+                    margin = res[worst] > 1.12 * jnp.median(res)
+                    poses = jnp.where(margin, poses, 0.0)
             if not apply:
-                break
+                # estimate-only: accumulate through the band schedule
+                # (poses already include ``total`` via init)
+                total = poses
+                continue
             self.update_calibration(
                 pose_ba.apply_pose_corrections(self.calib, poses)
             )
-            if r + 1 < rounds:
+            if r + 1 < n_rounds:
                 if frames is None:
                     break
                 _, maps, brick_counts = self.fuse(frames)

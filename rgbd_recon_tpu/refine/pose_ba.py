@@ -49,15 +49,27 @@ def _rodrigues(w: jnp.ndarray) -> jnp.ndarray:
     return jnp.eye(3) + a * K + b * (K @ K)
 
 
-def apply_pose(params: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+def apply_pose(params: jnp.ndarray, points: jnp.ndarray,
+               center=0.0) -> jnp.ndarray:
     """params (6,) = [rotation vector (3), translation (3)] applied to world
-    points (..., 3). Full matmul precision: the TPU's default bf16 matmuls
-    would add millimeter-scale noise to every transformed point — larger
-    than the alignment signal being optimized."""
+    points (..., 3): x' = R (x - center) + center + t.
+
+    ``center`` should be the scene (bbox) center: rotating about the WORLD
+    ORIGIN couples rotation and translation over the ~2 m lever arm of the
+    scene, and the solver's zero-correction prior then biases the estimate
+    along that coupled valley — measured at reference scale as corrections
+    that LOWER the residual while INCREASING the true pose error. About
+    the scene center the two blocks are near-orthogonal and the prior
+    penalizes physically meaningful magnitudes.
+
+    Full matmul precision: the TPU's default bf16 matmuls would add
+    millimeter-scale noise to every transformed point — larger than the
+    alignment signal being optimized."""
     R = _rodrigues(params[:3])
     return (
-        jnp.matmul(points, R.T, precision=jax.lax.Precision.HIGHEST)
-        + params[3:]
+        jnp.matmul(points - center, R.T,
+                   precision=jax.lax.Precision.HIGHEST)
+        + center + params[3:]
     )
 
 
@@ -84,15 +96,40 @@ def _tsdf_at(volume, bbox_min, bbox_size, world: jnp.ndarray) -> jnp.ndarray:
     return trilinear_3d(volume[..., None], norm)[..., 0]
 
 
-def _normal_equations(params, pts, w, volume, bbox_min, bbox_size, limit):
+def _gradient_trim(J, wm, k: float = 2.0):
+    """Zero the weight of points whose TSDF gradient magnitude is an
+    outlier. The translation block of J IS the volume gradient (chain
+    rule), so |J[:, 3:]| measures it for free. A clean truncated SDF has
+    |grad| ~= 1 in band-per-band units everywhere on the surface; the
+    TRANSITION zones around unknown (-limit) regions of a leave-one-out
+    consensus jump by the full band over one voxel — gradients several
+    times larger — and those are exactly the contaminated residuals that
+    bias the pose solve (measured at reference scale: the solver walked
+    AWAY from the true pose until these were trimmed)."""
+    gn = jnp.linalg.norm(J[:, 3:], axis=1)
+    m = jnp.sum(gn * wm) / jnp.maximum(jnp.sum(wm), 1e-20)
+    return jnp.where(gn < k * m, wm, 0.0)
+
+
+def _normal_equations(params, pts, w, volume, bbox_min, bbox_size, limit,
+                      center=0.0, mask_floor=None):
     """(J^T W J (6,6), J^T W r (6,), mean |r|) for one sensor."""
 
     def resid_fn(p):
-        moved = apply_pose(p, pts)
+        moved = apply_pose(p, pts, center)
         r = _tsdf_at(volume, bbox_min, bbox_size, moved)
         # only near-surface samples constrain the pose (|tsdf| < limit
         # means within the truncation band)
-        mask = (jnp.abs(r) < limit * 0.999) & (w > 0.0)
+        # ASYMMETRIC active set: regions observed only by the sensor
+        # being refined are unknown (-limit) in the leave-one-out
+        # consensus, and trilinear samples in the TRANSITION zone around
+        # them read deep NEGATIVE values that do not vanish at the true
+        # pose — measured at reference scale as a bias that drags the
+        # solve the wrong way. ``mask_floor`` trims that negative tail
+        # (callers set it to -max(band/2, nominal_limit)); positive
+        # residuals are always genuine (in front of an observed surface).
+        floor = -limit * 0.999 if mask_floor is None else mask_floor
+        mask = (r > floor) & (r < limit * 0.999) & (w > 0.0)
         return r, mask
 
     r, mask = resid_fn(params)
@@ -100,6 +137,7 @@ def _normal_equations(params, pts, w, volume, bbox_min, bbox_size, limit):
     # one VJP per residual (P of them)
     J = jax.jacfwd(lambda p: resid_fn(p)[0])(params)  # (P, 6)
     wm = jnp.where(mask, w, 0.0)
+    wm = _gradient_trim(J, wm)
     JtWJ = J.T @ (J * wm[:, None])
     JtWr = J.T @ (r * wm)
     denom = jnp.maximum(jnp.sum(wm > 0), 1)
@@ -108,7 +146,7 @@ def _normal_equations(params, pts, w, volume, bbox_min, bbox_size, limit):
 
 def _normal_equations_mesh(
     params, pts, w, volume, bbox_min, bbox_size, limit, mesh,
-    axis_name: str = "z",
+    axis_name: str = "z", center=0.0,
 ):
     """(J^T W J, J^T W r, mean |r|) with the POINT axis sharded over the
     mesh: each device reduces its point shard, the 6x6 / 6-vector partials
@@ -120,14 +158,19 @@ def _normal_equations_mesh(
 
     def body(params, pts_l, w_l, volume, bbox_min, bbox_size):
         def resid_fn(p):
-            moved = apply_pose(p, pts_l)
+            moved = apply_pose(p, pts_l, center)
             r = _tsdf_at(volume, bbox_min, bbox_size, moved)
-            mask = (jnp.abs(r) < limit * 0.999) & (w_l > 0.0)
+            # asymmetric active set — see _normal_equations
+            floor = -limit * 0.999 if mask_floor is None else mask_floor
+            mask = (r > floor) & (r < limit * 0.999) & (w_l > 0.0)
             return r, mask
 
         r, mask = resid_fn(params)
         J = jax.jacfwd(lambda p: resid_fn(p)[0])(params)
         wm = jnp.where(mask, w_l, 0.0)
+        # NOTE: the trim statistic is per-shard here (close enough — the
+        # shards are random subsets of the same point population)
+        wm = _gradient_trim(J, wm)
         JtWJ = jax.lax.psum(J.T @ (J * wm[:, None]), axis_name)
         JtWr = jax.lax.psum(J.T @ (r * wm), axis_name)
         num = jax.lax.psum(jnp.sum(jnp.abs(r) * (wm > 0)), axis_name)
@@ -142,8 +185,13 @@ def _normal_equations_mesh(
     )(params, pts, w, volume, bbox_min, bbox_size)
 
 
-def leave_one_out_volumes(pipeline, maps, brick_counts) -> jnp.ndarray:
+def leave_one_out_volumes(pipeline, maps, brick_counts,
+                          limit=None) -> jnp.ndarray:
     """(N, Z, Y, X) stack of TSDF volumes, volume i fused WITHOUT sensor i.
+
+    ``limit`` overrides the truncation band (a traced scalar, so no
+    recompile) — pose refinement fuses wide-band volumes so large drifts
+    stay inside the band (coarse-to-fine schedule).
 
     Refining a sensor against the volume its own (misaligned) depth
     contributed to is self-confirming: the doubled surface it created pulls
@@ -169,7 +217,18 @@ def leave_one_out_volumes(pipeline, maps, brick_counts) -> jnp.ndarray:
                 sel[:, None, None], maps.quality, jnp.zeros_like(maps.quality)
             ),
         )
-        vols.append(pipeline.integrate(m, brick_counts))
+        # a widened band cannot be represented in the brick-compact
+        # volume (only occupied-brick voxels exist there) — take the
+        # dense path for wide-band requests
+        wide = (
+            limit is not None
+            and pipeline.compact
+            and limit > pipeline.config.tsdf_limit * 1.5
+        )
+        if wide:
+            vols.append(pipeline.integrate_dense(m, limit=limit))
+        else:
+            vols.append(pipeline.integrate(m, brick_counts, limit=limit))
     return jnp.stack(vols)
 
 
@@ -185,6 +244,8 @@ def refine_poses(
     anchor: bool = False,
     mesh=None,
     axis_name: str = "z",
+    init: jnp.ndarray = None,
+    mask_floor: float = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Estimate per-sensor pose corrections against the fused TSDF.
 
@@ -228,10 +289,14 @@ def refine_poses(
         volume, (N,) + volume.shape
     )
 
+    center = bbox_min + 0.5 * bbox_size
+
     def active_mask(params, p, w, vol):
-        moved = apply_pose(params, p)
+        moved = apply_pose(params, p, center)
         r = _tsdf_at(vol, bbox_min, bbox_size, moved)
-        return (jnp.abs(r) < limit * 0.999) & (w > 0.0)
+        # asymmetric active set — see _normal_equations
+        floor = -limit * 0.999 if mask_floor is None else mask_floor
+        return (r > floor) & (r < limit * 0.999) & (w > 0.0)
 
     def masked_cost(params, p, w, vol, mask):
         """Cost over a FROZEN active set, with off-band escapes clamped at
@@ -240,7 +305,7 @@ def refine_poses(
         pushing points out of the band so they drop from the cost, and
         (b) unobserved (-limit 'unknown') regions — never in the active
         set — dragging weakly-covered sensors around."""
-        moved = apply_pose(params, p)
+        moved = apply_pose(params, p, center)
         r = _tsdf_at(vol, bbox_min, bbox_size, moved)
         rc = jnp.minimum(jnp.abs(r), limit)
         wm = w * mask
@@ -282,7 +347,8 @@ def refine_poses(
         def candidates(poses, lam):
             def per_sensor(params, p, w, vol, lam_i):
                 JtWJ, JtWr, res = _normal_equations(
-                    params, p, w, vol, bbox_min, bbox_size, limit
+                    params, p, w, vol, bbox_min, bbox_size, limit, center,
+                    mask_floor,
                 )
                 return lm_update(params, JtWJ, JtWr, lam_i), res
 
@@ -296,15 +362,17 @@ def refine_poses(
             for i in range(N):
                 JtWJ, JtWr, res = _normal_equations_mesh(
                     poses[i], pts[i], ws[i], vols[i], bbox_min, bbox_size,
-                    limit, mesh, axis_name,
+                    limit, mesh, axis_name, center, mask_floor,
                 )
                 cands.append(lm_update(poses[i], JtWJ, JtWr, lam[i]))
                 ress.append(res)
             return jnp.stack(cands), jnp.stack(ress)
 
     # Levenberg-Marquardt: per-sensor adaptive damping with accept/reject
-    # on the frozen-active-set cost
-    poses = jnp.zeros((N, 6), jnp.float32)
+    # on the frozen-active-set cost; ``init`` continues from an earlier
+    # (coarser-band) round's estimate
+    poses = (jnp.zeros((N, 6), jnp.float32) if init is None
+             else jnp.asarray(init, jnp.float32))
     lam = jnp.full((N,), jnp.maximum(damping, 1e-2), jnp.float32)
     history = []
     for _ in range(iters):
@@ -349,8 +417,15 @@ def apply_pose_corrections(calib, poses: jnp.ndarray):
 
     @jax.jit
     def go(calib, poses):
+        center = bbox_min + 0.5 * bbox_size
         Rs = jnp.stack([_rodrigues(poses[i, :3]) for i in range(N)])
-        ts = poses[:, 3:]
+        # x' = R (x - c) + c + t  ==  R x + (c + t - R c): fold the
+        # center-relative rotation into an equivalent origin-form affine
+        ts = (
+            poses[:, 3:] + center
+            - jnp.einsum("nij,j->ni", Rs, center,
+                         precision=jax.lax.Precision.HIGHEST)
+        )
         # full-precision matmuls: the TPU's default bf16 matmul precision
         # would put ~millimeter errors into every calibration coordinate
         cv_xyz = (
@@ -402,11 +477,12 @@ def pose_residual_stats(calib, maps, volume, limit, poses=None, stride=2,
         poses = jnp.zeros((N, 6), jnp.float32)
     bbox_min = calib.bbox_min
     bbox_size = calib.bbox_max - calib.bbox_min
+    center = bbox_min + 0.5 * bbox_size
     out = []
     for i in range(N):
         vol = volumes[i] if volumes is not None else volume
         pts, w = _surface_points(calib, maps, i, stride)
-        moved = apply_pose(poses[i], pts)
+        moved = apply_pose(poses[i], pts, center)
         r = _tsdf_at(vol, bbox_min, bbox_size, moved)
         # saturation-aware: points pushed outside the truncation band count
         # at the band limit instead of being excluded — otherwise a badly

@@ -239,3 +239,34 @@ def test_dxt5_roundtrip():
     assert (out[..., 3] == 255).all()
     # smooth gradients survive block compression to a few quantization steps
     assert np.abs(out[..., :3].astype(int) - img.astype(int)).mean() < 8
+
+
+def test_native_stream_reader_matches_python(tmp_path):
+    """The GIL-free in-order native reader (the app's replay hot path)
+    decodes byte-identically to the Python StreamReader."""
+    native = pytest.importorskip("rgbd_recon_tpu.io.native")
+    if not native.available():
+        pytest.skip("native lib not built")
+    from rgbd_recon_tpu.io.stream import StreamReader, StreamWriter
+
+    rng = np.random.default_rng(7)
+    path = tmp_path / "s.stream"
+    w = StreamWriter(path)
+    frames = []
+    for _ in range(3):
+        color = rng.random((12, 16, 3)).astype(np.float32)
+        depth = (rng.random((8, 10)) * 4).astype(np.float32)
+        w.write_frame(color, depth)
+        frames.append((color, depth))
+    w.close()
+
+    py = StreamReader(path, depth_size=(10, 8), color_size=(16, 12))
+    nat = native.NativeStreamReader(path, depth_size=(10, 8),
+                                    color_size=(16, 12))
+    assert nat.num_frames == 3
+    for _ in range(5):  # loops past EOF in order, like FileBuffer
+        cp, dp = py.read_frame()
+        cn, dn = nat.read_frame()
+        np.testing.assert_array_equal(cn, cp)
+        np.testing.assert_array_equal(dn, dp)
+    nat.close()

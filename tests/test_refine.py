@@ -170,7 +170,11 @@ def test_refinement_recovers_rotation_and_translation_and_applies():
 
     w_true = np.zeros(3, np.float32)
     w_true[1] = -th
-    t_true = -(E_rot.T @ E_t)
+    # poses act about the bbox center c: x' = R (x - c) + c + t, so the
+    # inverse of the origin-form injected error E maps to
+    # t = E_rot^T (c - E_t) - c
+    c = (np.asarray(BBOX.min) + np.asarray(BBOX.max)) * 0.5
+    t_true = (E_rot.T @ (c - E_t) - c).astype(np.float32)
     truth = (
         jnp.zeros((4, 6), jnp.float32)
         .at[1, :3].set(jnp.asarray(w_true))
