@@ -146,7 +146,7 @@ def _normal_equations(params, pts, w, volume, bbox_min, bbox_size, limit,
 
 def _normal_equations_mesh(
     params, pts, w, volume, bbox_min, bbox_size, limit, mesh,
-    axis_name: str = "z", center=0.0,
+    axis_name: str = "z", center=0.0, mask_floor=None,
 ):
     """(J^T W J, J^T W r, mean |r|) with the POINT axis sharded over the
     mesh: each device reduces its point shard, the 6x6 / 6-vector partials
