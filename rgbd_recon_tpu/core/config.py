@@ -138,7 +138,7 @@ class PipelineConfig:
     # march or shade. 0 disables compaction (dense full-screen march).
     # Active blocks beyond capacity render as background and are counted in
     # RenderOutput.overflow[0]; typical scenes activate 15-22% of blocks.
-    ray_compaction: float = 0.22
+    ray_compaction: float = 0.20
     # Edge of the screen-tile blocks the interval pass scans (one coarse ray
     # per block; intervals are conservatively 3x3-min/max-pooled across
     # neighboring blocks). Also the block-compaction granularity.
@@ -148,7 +148,7 @@ class PipelineConfig:
     # (two tail stages: 1/4 capacity for a medium budget, then 1/16
     # capacity to exhaustion — the long tail is grazing silhouette rays).
     # 0 disables the split (single full-length march).
-    march_phase1_steps: int = 12
+    march_phase1_steps: int = 10
     # Coarse interval-scan step as a fraction of the brick edge. The scan
     # targets the 1-brick-DILATED surface-brick set (a >=3-brick-wide slab
     # around any surface), so 0.5-brick steps cannot miss it; smaller =
@@ -181,7 +181,7 @@ class PipelineConfig:
     # capacity render as background and are counted in
     # RenderOutput.overflow[2]. 0 disables hit compaction. Typical scenes
     # hit on ~40-45% of compacted rays.
-    hit_compaction: float = 0.5
+    hit_compaction: float = 0.55
     # Color blending at raymarch hits: "quality" is the reference's default
     # blendColors (quality/(dist+0.01) weights + inverse-distance fallback,
     # tsdf_raymarch.fs:303-338); "normal_deviation" and "best_two" are its
