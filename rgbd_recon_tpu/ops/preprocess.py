@@ -454,18 +454,22 @@ def lab_colors(
     u = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
     v = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
     uu, vv = jnp.meshgrid(u, v)
+    # model evaluation batched over ALL sensors (elementwise — the
+    # per-sensor python loop staged 12+ async slices of the (N, H, W, 2/3)
+    # model arrays per frame); only the color gather loops, because each
+    # sensor gathers from its own table
+    if pixel_models is not None:
+        ray_a, ray_b, uv_p, uv_q, uv_r = pixel_models
+        ze = z[..., None]
+        coords_all = (uv_p + uv_q * ze) / (1.0 + uv_r * ze)  # (N, H, W, 2)
+    else:
+        coords_all = jnp.stack([
+            trilinear_3d(cv_uv[i], jnp.stack([uu, vv, z[i]], axis=-1))
+            for i in range(N)
+        ])
     out = []
     for i in range(N):
-        if pixel_models is not None:
-            ray_a, ray_b, uv_p, uv_q, uv_r = pixel_models
-            ze = z[i][..., None]
-            coords_c = (uv_p[i] + uv_q[i] * ze) / (1.0 + uv_r[i] * ze)
-        else:
-            coords_c = trilinear_3d(
-                cv_uv[i],
-                jnp.stack([uu, vv, z[i]], axis=-1),
-            )
-        rgb = _pair_bilinear(col8[i], Hc, Wc, coords_c)[..., :3]
+        rgb = _pair_bilinear(col8[i], Hc, Wc, coords_all[i])[..., :3]
         out.append(rgb_to_lab(rgb))
     return jnp.stack(out)
 
