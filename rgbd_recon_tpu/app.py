@@ -422,11 +422,14 @@ def cmd_run(args):
         fbr.close()
     csv_text = db.write_csv(out_dir / "timings.csv")
     print(csv_text, file=sys.stderr)
-    dropped = max(0, produced - n_done)
-    print(
-        f"processed {n_done} frames ({dropped} dropped to keep latest) -> "
-        f"{out_dir}"
-    )
+    if feed_mode == "latest":
+        dropped = max(0, produced - n_done)
+        print(
+            f"processed {n_done} frames ({dropped} dropped to keep latest) "
+            f"-> {out_dir}"
+        )
+    else:
+        print(f"processed {n_done} frames (in order) -> {out_dir}")
 
 
 def cmd_invert(args):
