@@ -581,14 +581,20 @@ def blend_colors_analytic(
     depths: jnp.ndarray,         # (N, H, W)
     qualities: jnp.ndarray,      # (N, H, W)
     limit: float,
+    dq_taps: str = "nearest",
 ):
     """Fastest blend variant: the cv_xyz_inv and cv_uv lookups are replaced
     by the analytic per-sensor projection models (pure elementwise math,
-    zero gather rows), leaving only the sensor-map bilinear fetches (2
-    pair-packed rows each). Exact for pinhole calibrations — the analytic
-    projection is in fact *more* accurate than the k-NN/IDW-baked inverse
-    volume it replaces; non-pinhole rigs fall back to blend_colors_fast via
-    the fit-residual gate (PipelineConfig.projection_model)."""
+    zero gather rows), leaving only the sensor-map fetches. Exact for
+    pinhole calibrations — the analytic projection is in fact *more*
+    accurate than the k-NN/IDW-baked inverse volume it replaces;
+    non-pinhole rigs fall back to blend_colors_fast via the fit-residual
+    gate (PipelineConfig.projection_model).
+
+    ``dq_taps="nearest"`` fetches the depth/quality WEIGHT maps at the
+    nearest texel (1 packed row instead of 2 — the same approximation the
+    integrate taps default to; the maps are bilateral-smoothed so the
+    inter-pixel variation is sub-voxel). Colors stay bilinear."""
     N = colors.shape[0]
     H, W = depths.shape[1:3]
     Hc, Wc = colors.shape[1:3]
@@ -599,18 +605,26 @@ def blend_colors_analytic(
         jnp.zeros(world_pos.shape[:-1] + (3,), jnp.float32),
         jnp.zeros(world_pos.shape[:-1], jnp.float32),
     )
-    dq4 = _pack_pairs_2d([depths, qualities])
     col8 = _pack_pairs_2d(
         jnp.concatenate([colors, jnp.zeros_like(colors[..., :1])], axis=-1),
         dtype=jnp.bfloat16,
     )
+    if dq_taps == "nearest":
+        dq2 = jnp.stack([depths, qualities], axis=-1).reshape(N, H * W, 2)
+    else:
+        dq4 = _pack_pairs_2d([depths, qualities])
 
     for i in range(N):
         uvd = proj_models.uvd(i, world_pos)
         in_frustum = jnp.all((uvd >= 0.0) & (uvd <= 1.0), axis=-1)
         pos_color = proj_models.color_uv(i, world_pos)
         col = _pair_bilinear(col8[i], Hc, Wc, pos_color)[..., :3]
-        dqv = _pair_bilinear(dq4[i], H, W, uvd[..., :2])
+        if dq_taps == "nearest":
+            xi = jnp.clip((uvd[..., 0] * W).astype(jnp.int32), 0, W - 1)
+            yi = jnp.clip((uvd[..., 1] * H).astype(jnp.int32), 0, H - 1)
+            dqv = dq2[i][yi * W + xi]
+        else:
+            dqv = _pair_bilinear(dq4[i], H, W, uvd[..., :2])
         acc = _blend_accumulate(
             i, col, dqv[..., 0], dqv[..., 1], uvd[..., 2], in_frustum,
             limit, acc,

@@ -691,6 +691,9 @@ class TsdfPipeline:
                 rgba = raymarch.blend_colors_analytic(
                     world_pos, proj_models, maps.color, maps.depth[..., 0],
                     maps.quality, limit,
+                    # reuse the integrate-taps fidelity knob: parity
+                    # configs set "bilinear" and get the exact fetch
+                    dq_taps=c.integrate_taps,
                 )
             else:
                 blend = (
