@@ -207,8 +207,11 @@ class PipelineConfig:
     # results, much tighter intervals.
     surface_skip: bool = True
     # Brick-marking pixel stride: every stride-th pixel scatters stride^2
-    # counts (see TsdfPipeline._mark_bricks). 1 = reference-exact.
-    mark_stride: int = 2
+    # counts (see TsdfPipeline._mark_bricks). 1 = reference-exact; at 3,
+    # a brick passes the >10 threshold with >=2 lattice samples (a 10 cm
+    # brick's footprint is hundreds of pixels, so marking is unchanged
+    # except at extreme grazing fringes).
+    mark_stride: int = 3
     # Replace the per-hit cv_xyz_inv/cv_uv lookups of the color blend with
     # analytic per-sensor projection models fitted at setup (exact for
     # pinhole calibrations — more accurate than the k-NN/IDW-baked inverse
