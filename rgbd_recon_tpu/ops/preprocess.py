@@ -246,19 +246,29 @@ def boundary(
     """
     H, W = depth2.shape[:2]
     ks = 2
-    both = jnp.concatenate([depth2, lab], axis=-1)  # (H, W, 5)
-    bpad = jnp.pad(both, ((ks, ks), (ks, ks), (0, 0)), mode="edge")
+    # PLANAR taps: the packed (H, W, 5) form ran every tap at 5/128 TPU
+    # lane utilization; identical math on per-channel planes
+    d0 = depth2[..., 0]
+    q0 = depth2[..., 1]
+    L0, A0, B0 = lab[..., 0], lab[..., 1], lab[..., 2]
+    pd, pq, pL, pA, pB = (
+        jnp.pad(p, ks, mode="edge") for p in (d0, q0, L0, A0, B0)
+    )
 
     # get_color_diff (:37-55): mean LAB distance over valid 5x5 neighbors
-    def cd_body(acc, s, dy, dx):
-        total_dist, cnt = acc
-        d_s, l_s = s[..., :2], s[..., 2:]
-        v = (d_s[..., 0] > 0.0) & (d_s[..., 1] > _MIN_RANGE)
-        dist = jnp.linalg.norm(lab - l_s, axis=-1)
-        return (total_dist + jnp.where(v, dist, 0.0), cnt + v.astype(lab.dtype))
-
-    zero = jnp.zeros((H, W), lab.dtype)
-    total_dist, cnt = _stencil_scan(bpad, ks, H, W, cd_body, (zero, zero))
+    total_dist = jnp.zeros((H, W), lab.dtype)
+    cnt = jnp.zeros((H, W), lab.dtype)
+    for dy in range(-ks, ks + 1):
+        for dx in range(-ks, ks + 1):
+            def sl(p):
+                return p[ks + dy: ks + dy + H, ks + dx: ks + dx + W]
+            v = (sl(pd) > 0.0) & (sl(pq) > _MIN_RANGE)
+            dist = jnp.sqrt(
+                (L0 - sl(pL)) ** 2 + (A0 - sl(pA)) ** 2
+                + (B0 - sl(pB)) ** 2
+            )
+            total_dist = total_dist + jnp.where(v, dist, 0.0)
+            cnt = cnt + v.astype(lab.dtype)
     total_samples = float((2 * ks) * (2 * ks))  # :23 (16, not 25!)
     color_diff = jnp.where(
         cnt < total_samples * 0.5, 1.0, total_dist / jnp.maximum(cnt, 1.0)
@@ -299,17 +309,20 @@ def normals(depth2: jnp.ndarray, cv_xyz: jnp.ndarray,
     pad = jnp.pad(d, 1, mode="edge")
 
     if pixel_model is not None:
+        # PLANAR components: (H, W, 3)-packed math runs at 3/128 TPU lane
+        # utilization; identical values per component plane
         ray_a, ray_b = pixel_model[0], pixel_model[1]
-        a_pad = jnp.pad(ray_a, ((1, 1), (1, 1), (0, 0)), mode="edge")
-        b_pad = jnp.pad(ray_b, ((1, 1), (1, 1), (0, 0)), mode="edge")
+        a_pads = [jnp.pad(ray_a[..., j], 1, mode="edge") for j in range(3)]
+        b_pads = [jnp.pad(ray_b[..., j], 1, mode="edge") for j in range(3)]
 
         def world_at(du, dv, dy, dx):
             ds = _shifted(pad, 1, dy, dx, H, W)
-            ds = jnp.where((ds <= 0.0) | (ds >= 1.0), d, ds)[..., None]
-            return (
-                _shifted(a_pad, 1, dy, dx, H, W)
-                + _shifted(b_pad, 1, dy, dx, H, W) * ds
-            )
+            ds = jnp.where((ds <= 0.0) | (ds >= 1.0), d, ds)
+            return [
+                _shifted(a_pads[j], 1, dy, dx, H, W)
+                + _shifted(b_pads[j], 1, dy, dx, H, W) * ds
+                for j in range(3)
+            ]
     else:
         u = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
         v = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
@@ -319,17 +332,26 @@ def normals(depth2: jnp.ndarray, cv_xyz: jnp.ndarray,
             ds = _shifted(pad, 1, dy, dx, H, W)
             ds = jnp.where((ds <= 0.0) | (ds >= 1.0), d, ds)
             coords = jnp.stack([uu + du / W, vv + dv / H, ds], axis=-1)
-            return trilinear_3d(cv_xyz, coords)
+            w3 = trilinear_3d(cv_xyz, coords)
+            return [w3[..., j] for j in range(3)]
 
     world_t = world_at(0.0, 1.0, 1, 0)   # tex_pos + (0, +texSizeInv.y)
     world_b = world_at(0.0, -1.0, -1, 0)
     world_l = world_at(-1.0, 0.0, 0, -1)
     world_r = world_at(1.0, 0.0, 0, 1)
 
-    n = jnp.cross(world_b - world_t, world_l - world_r)
-    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
-    n = n / jnp.maximum(norm, 1e-20)
-    return jnp.where(valid[..., None], n, 0.0)
+    e1 = [world_b[j] - world_t[j] for j in range(3)]
+    e2 = [world_l[j] - world_r[j] for j in range(3)]
+    nx = e1[1] * e2[2] - e1[2] * e2[1]
+    ny = e1[2] * e2[0] - e1[0] * e2[2]
+    nz = e1[0] * e2[1] - e1[1] * e2[0]
+    inv_n = 1.0 / jnp.maximum(
+        jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-20
+    )
+    vf = valid
+    return jnp.stack(
+        [jnp.where(vf, c * inv_n, 0.0) for c in (nx, ny, nz)], axis=-1
+    )
 
 
 def quality(
