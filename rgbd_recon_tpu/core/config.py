@@ -106,11 +106,11 @@ class PipelineConfig:
     min_voxels_per_brick: int = 10
     # Max occupied bricks the compact integration path processes per frame
     # (fixed shape for jit). Reference scenes mark 3-5.5% of bricks
-    # (inc_bricks.glsl:52-56) = ~260-480 of 8800 at default scale; 768 is
-    # ~2x headroom, and integration cost scales linearly with it. Extra
-    # occupied bricks beyond capacity are dropped — watch
+    # (inc_bricks.glsl:52-56) = ~260-480 of 8800 at default scale; 640 is
+    # ~1.3-2.4x headroom, and integration cost scales linearly with it.
+    # Extra occupied bricks beyond capacity are dropped — watch
     # TsdfPipeline.diagnostics()['bricks_dropped'] and raise if nonzero.
-    brick_capacity: int = 768
+    brick_capacity: int = 640
     time_limit: int = 0            # benchmark seconds; 0 = unlimited
     num_lods: int = 7              # pull-push pyramid depth
     shade_mode: int = 0            # 0 textured,1 shaded,2 normals,3 cam blend

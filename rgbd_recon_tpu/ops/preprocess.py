@@ -153,8 +153,13 @@ def bilateral_lab(
 
     depth_norm = norm_d(depth_m)
     if pixel_model is not None:
+        # planar bbox cull: per-component planes instead of (H, W, 3)
+        # packed math (3/128 lane utilization)
         ray_a, ray_b, uv_p, uv_q, uv_r = pixel_model
-        pos_world = ray_a + ray_b * depth_norm[..., None]
+        in_box = jnp.ones(depth_m.shape, bool)
+        for j in range(3):
+            wj = ray_a[..., j] + ray_b[..., j] * depth_norm
+            in_box = in_box & (wj >= bbox_min[j]) & (wj <= bbox_max[j])
     else:
         u = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
         v = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
@@ -163,7 +168,9 @@ def bilateral_lab(
         pos_world = trilinear_3d(
             cv_xyz, jnp.concatenate([texcoord, depth_norm[..., None]], axis=-1)
         )
-    in_box = jnp.all((pos_world >= bbox_min) & (pos_world <= bbox_max), axis=-1)
+        in_box = jnp.all(
+            (pos_world >= bbox_min) & (pos_world <= bbox_max), axis=-1
+        )
 
     if lab_in is not None:
         lab = lab_in

@@ -304,13 +304,16 @@ def integrate_bricks(
             [depths, qualities, silhouettes, jnp.zeros_like(depths)],
             axis=-1,
         ).reshape(N, H * W, 4)
-        in_frustum = proj[..., 3] > 0.0
-        xi = jnp.clip((proj[..., 0] * W).astype(jnp.int32), 0, W - 1)
-        yi = jnp.clip((proj[..., 1] * H).astype(jnp.int32), 0, H - 1)
+        # one relayout to channel planes: the uv/validity math then runs
+        # full-lane instead of strided 4-minor channel extracts
+        proj_p = jnp.moveaxis(proj, -1, 0)     # (4, N, K, V)
+        in_frustum = proj_p[3] > 0.0
+        xi = jnp.clip((proj_p[0] * W).astype(jnp.int32), 0, W - 1)
+        yi = jnp.clip((proj_p[1] * H).astype(jnp.int32), 0, H - 1)
         idx = yi * W + xi
         vals = jnp.stack([p4[i][idx[i]] for i in range(N)])
         return _fold_and_scatter(
-            proj, vals, in_frustum, ids, limit, vol_shape, brick_vox,
+            proj_p[2], vals, in_frustum, ids, limit, vol_shape, brick_vox,
             carve_sil_threshold, phantom_hull,
         )
 
@@ -356,17 +359,19 @@ def integrate_bricks(
     vals = c0 * (1 - fy) + c1 * fy
     # (N, K, V, 4): [depth, quality, silhouette]
     return _fold_and_scatter(
-        proj, vals, in_frustum, ids, limit, vol_shape, brick_vox,
+        proj[..., 2], vals, in_frustum, ids, limit, vol_shape, brick_vox,
         carve_sil_threshold, phantom_hull,
     )
 
 
 def _fold_and_scatter(
-    proj, vals, in_frustum, ids, limit, vol_shape, brick_vox,
+    proj_z, vals, in_frustum, ids, limit, vol_shape, brick_vox,
     carve_sil_threshold, phantom_hull,
 ):
     """Sensor fold over sampled map values + block scatter back to the
-    dense volume (shared by the bilinear and nearest tap paths)."""
+    dense volume (shared by the bilinear and nearest tap paths).
+    ``proj_z`` is the (N, K, V) normalized-depth plane of the baked
+    projections."""
     N, K, V = vals.shape[:3]
     (Bz, By, Bx), padded = brick_layout(vol_shape, brick_vox)
     v = brick_vox
@@ -375,7 +380,6 @@ def _fold_and_scatter(
     # one explicit relayout to channel-planes: the fold would otherwise
     # strided-read the 4-wide minor axis once per sensor per channel
     vals_p = jnp.moveaxis(vals, -1, 0)       # (4, N, K, V)
-    proj_z = jnp.moveaxis(proj[..., 2:3], -1, 0)[0]   # (N, K, V)
     tsd = jnp.full((K, V), limit, jnp.float32)
     total_w = jnp.zeros_like(tsd)
     for i in range(N):

@@ -290,7 +290,12 @@ class TsdfPipeline:
             if s > 1:
                 ray_a = ray_a[:, s // 2::s, s // 2::s]
                 ray_b = ray_b[:, s // 2::s, s // 2::s]
-            worlds = ray_a + ray_b * d_all[..., None]
+            # per-component planes (lane utilization), stacked only for
+            # the scatter's index math
+            worlds = jnp.stack(
+                [ray_a[..., j] + ray_b[..., j] * d_all for j in range(3)],
+                axis=-1,
+            )
         else:
             u = (jnp.arange(W, dtype=jnp.float32)[s // 2::s] + 0.5) / W
             v = (jnp.arange(H, dtype=jnp.float32)[s // 2::s] + 0.5) / H
