@@ -152,8 +152,11 @@ class PipelineConfig:
     # Coarse interval-scan step as a fraction of the brick edge. The scan
     # targets the 1-brick-DILATED surface-brick set (a >=3-brick-wide slab
     # around any surface), so 0.5-brick steps cannot miss it; smaller =
-    # more coarse samples but slightly tighter intervals.
-    interval_step_frac: float = 0.5
+    # more coarse samples but slightly tighter intervals. 0.75 measures an
+    # identical hit set to 0.5 at reference scale with ~35% fewer scan
+    # gathers (the march start pad scales with the step, so the
+    # conservative margin is unchanged).
+    interval_step_frac: float = 0.75
     # Sphere-trace through certified-empty space: a per-frame Chebyshev
     # distance-to-surface field is baked into the marched volume as skip
     # sentinels, and the march advances by the certified-safe distance in
