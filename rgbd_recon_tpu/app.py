@@ -406,6 +406,7 @@ def cmd_run(args):
                 ("blocks_dropped", "ray_compaction"),
                 ("phase2_rays_dropped", "march tail capacity"),
                 ("hits_dropped", "hit_compaction"),
+                ("oct_bricks_dropped", "brick_capacity (oct table)"),
             ):
                 if diag.get(key, 0):
                     print(

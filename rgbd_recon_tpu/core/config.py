@@ -203,6 +203,15 @@ class PipelineConfig:
     # position at reference scale); "float32" for exact parity. The
     # trilinear parity mode always packs float32.
     march_dtype: str = "bfloat16"
+    # Hit-path sampling through a compact per-occupied-brick cell-corner
+    # table (ops/raymarch.py OctVolume): exact trilinear secant refinement
+    # and the analytic trilinear-cell gradient cost ONE 8-wide row gather
+    # each (vs 4 pair rows per trilinear sample + 6 nearest taps), and the
+    # march volume drops to the non-overlapping half-pair layout (17.6 MB —
+    # the fast gather size class). Applies to the nearest fast path only;
+    # capacity is 2x brick_capacity (overflow observable via
+    # RenderOutput.overflow[3]). Requires brick-aligned volume dims.
+    oct_hit_table: bool = True
     # Space-skip by bricks that can actually produce ray-surface crossings
     # (any positive TSDF voxel in the 1-voxel-dilated brick) instead of the
     # marked-occupancy mask, which includes silhouette-carve-only bricks

@@ -203,11 +203,23 @@ def shard_compact_step(pipeline, camera, mesh: Mesh, axis_name: str = "z"):
             # explicit gather of the baked march volume: gather operands
             # must be device-local and rays traverse every z-slab
             vol_m = jax.lax.with_sharding_constraint(vol_m_pad[:Z], repl)
+            oct = None
+            if render_fn.build_oct is not None:
+                # the oct table wants the RAW fused field; recover it from
+                # the gathered march volume by clamping the skip sentinels
+                # back to the clear value (sentinel voxels are >= 2 voxels
+                # from any positive, where the raw TSDF sits at the
+                # -limit truncation floor)
+                oct = render_fn.build_oct(
+                    jnp.maximum(vol_m.astype(jnp.float32), -limit),
+                    occ_pad[:Bz], limit,
+                )
             baked = (
                 PackedVolume.from_volume(
-                    vol_m, dtype=render_fn.pack_dtype
+                    vol_m, dtype=render_fn.pack_dtype,
+                    half=render_fn.march_half,
                 ),
-                occ_pad[:Bz], bsafe_pad[:Bz], -limit,
+                oct, occ_pad[:Bz], bsafe_pad[:Bz], -limit,
             )
             out = render_fn.render_from_baked(
                 baked, maps, calib, cam, proj_models, limit

@@ -103,29 +103,48 @@ def _nearest_sample(vol_flat: jnp.ndarray, shape, pos: jnp.ndarray):
 
 @dataclasses.dataclass(frozen=True)
 class PackedVolume:
-    """TSDF volume packed as overlapping x-pair rows for fast sampling.
+    """TSDF volume packed as x-pair rows for fast sampling.
 
-    Row (z, y, x) holds (v[z,y,x], v[z,y,min(x+1,X-1)]), so a nearest sample
-    is ONE 2-wide row gather and a trilinear sample is FOUR (one per (z,y)
-    corner pair) instead of eight scalar gathers. Measured on the TPU chip,
-    2-wide-row gathers run ~1.4-2.6x faster per row than scalar gathers
-    (scripts/probe_gather_rates.py), so this halves-to-quarters the cost of
-    every volume lookup in the march. Built once per frame (two reads + one
-    write of the volume, bandwidth-bound)."""
+    Two layouts:
 
-    pairs: jnp.ndarray  # (Z*Y*X, 2)
+    - ``half=False`` (default): row (z, y, x) holds
+      (v[z,y,x], v[z,y,min(x+1,X-1)]) — overlapping pairs, so a nearest
+      sample is ONE 2-wide row gather and a trilinear sample is FOUR (one
+      per (z,y) corner pair) instead of eight scalar gathers.
+    - ``half=True``: row (z, y, k) holds (v[z,y,2k], v[z,y,2k+1]) —
+      non-overlapping pairs, HALVING the table (17.6 vs 35 MB bf16 at
+      reference scale). Gather throughput falls off a cliff once the table
+      leaves the fast size class (~256 M rows/s below ~32 MB vs ~156 M at
+      34 MB, scripts/probe_gather_rates.py), so the march's per-step
+      nearest fetch runs ~1.6x faster from the half table; a nearest
+      sample is one row gather + a lane select on x&1. Trilinear x-taps
+      can straddle rows (two gathers per corner pair), so the half layout
+      is for the nearest-stepping march only.
+
+    Built once per frame (reads + one write of the volume,
+    bandwidth-bound)."""
+
+    pairs: jnp.ndarray  # (Z*Y*X, 2) or (Z*Y*ceil(X/2), 2) when half
     shape: Tuple[int, int, int]
+    half: bool = False
 
     @classmethod
-    def from_volume(cls, volume: jnp.ndarray, dtype=None) -> "PackedVolume":
-        """``dtype=jnp.bfloat16`` halves the table (35 MB at reference
-        scale) and gathers ~1.3x faster (scripts/probe_gather_rates.py).
-        TSDF values are +-limit so the absolute rounding error is
-        ~limit * 2^-8 (~0.2 mm of surface position at reference scale);
-        skip sentinels must use the INTEGER encoding (-(2 + steps), exact
-        in bf16) rather than the scaled one."""
+    def from_volume(cls, volume: jnp.ndarray, dtype=None,
+                    half: bool = False) -> "PackedVolume":
+        """``dtype=jnp.bfloat16`` halves the table and keeps it in a faster
+        gather size class (scripts/probe_gather_rates.py). TSDF values are
+        +-limit so the absolute rounding error is ~limit * 2^-8 (~0.2 mm of
+        surface position at reference scale); skip sentinels must use the
+        INTEGER encoding (-(2 + steps), exact in bf16) rather than the
+        scaled one."""
         if dtype is not None:
             volume = volume.astype(dtype)
+        if half:
+            Z, Y, X = volume.shape
+            if X % 2:
+                volume = jnp.concatenate([volume, volume[:, :, -1:]], axis=2)
+            pairs = volume.reshape(Z, Y, -1, 2).reshape(-1, 2)
+            return cls(pairs=pairs, shape=(Z, Y, X), half=True)
         nxt = jnp.concatenate([volume[:, :, 1:], volume[:, :, -1:]], axis=2)
         pairs = jnp.stack([volume, nxt], axis=-1).reshape(-1, 2)
         return cls(pairs=pairs, shape=tuple(volume.shape))
@@ -142,6 +161,11 @@ class PackedVolume:
         xi = jnp.clip((px * W).astype(jnp.int32), 0, W - 1)
         yi = jnp.clip((py * H).astype(jnp.int32), 0, H - 1)
         zi = jnp.clip((pz * D).astype(jnp.int32), 0, D - 1)
+        if self.half:
+            W2 = self.pairs.shape[0] // (D * H)
+            rows = self.pairs[(zi * H + yi) * W2 + (xi >> 1)]
+            v = jnp.where(xi & 1, rows[..., 1], rows[..., 0])
+            return v.astype(jnp.float32)
         rows = self.pairs[(zi * H + yi) * W + xi]
         return rows[..., 0].astype(jnp.float32)
 
@@ -175,11 +199,26 @@ class PackedVolume:
         z0 = jnp.clip(z0f.astype(jnp.int32), 0, D - 1)
         z1 = jnp.clip(z0f.astype(jnp.int32) + 1, 0, D - 1)
 
-        def pair(z, y):
-            r = self.pairs[(z * H + y) * W + x0].astype(jnp.float32)
-            if clamp_floor is not None:
-                r = jnp.maximum(r, clamp_floor)
-            return r[..., 0] * (1.0 - fx) + r[..., 1] * fx
+        if self.half:
+            W2 = self.pairs.shape[0] // (D * H)
+            x1 = jnp.clip(x0 + 1, 0, W - 1)
+
+            def pair(z, y):
+                base = (z * H + y) * W2
+                r0 = self.pairs[base + (x0 >> 1)].astype(jnp.float32)
+                r1 = self.pairs[base + (x1 >> 1)].astype(jnp.float32)
+                a = jnp.where(x0 & 1, r0[..., 1], r0[..., 0])
+                b = jnp.where(x1 & 1, r1[..., 1], r1[..., 0])
+                if clamp_floor is not None:
+                    a = jnp.maximum(a, clamp_floor)
+                    b = jnp.maximum(b, clamp_floor)
+                return a * (1.0 - fx) + b * fx
+        else:
+            def pair(z, y):
+                r = self.pairs[(z * H + y) * W + x0].astype(jnp.float32)
+                if clamp_floor is not None:
+                    r = jnp.maximum(r, clamp_floor)
+                return r[..., 0] * (1.0 - fx) + r[..., 1] * fx
 
         c00 = pair(z0, y0)
         c01 = pair(z0, y1)
@@ -196,8 +235,207 @@ class PackedVolume:
 
 
 jax.tree_util.register_dataclass(
-    PackedVolume, data_fields=["pairs"], meta_fields=["shape"]
+    PackedVolume, data_fields=["pairs"], meta_fields=["shape", "half"]
 )
+
+
+@dataclasses.dataclass(frozen=True)
+class OctVolume:
+    """Compact per-occupied-brick cell-corner table for the hit path.
+
+    Row (slot, lz, ly, lx) holds the EIGHT corners of the trilinear cell
+    anchored at voxel (z, y, x) of occupied brick ``slot`` (corner order
+    dz*4 + dy*2 + dx, edge-clamped at the volume faces) — so an exact GL
+    trilinear evaluation AND the analytic within-cell gradient cost ONE
+    8-wide row gather (plus a tiny slot lookup) instead of the 4 pair-row
+    gathers per sample + 6 nearest taps the round-3 hit path paid. Hit
+    positions always anchor in a brick containing a 1-dilated positive
+    voxel, which is exactly the surface-brick set the table covers; the
+    rare off-table evaluation (a refine endpoint one voxel into a shell
+    brick) falls back to the -limit clear value.
+
+    The table covers ``capacity * brick_vox^3`` cells; in bf16 at reference
+    scale (capacity 1280) that is ~20 MB — inside the fast gather class
+    (scripts/probe_gather_rates.py)."""
+
+    rows: jnp.ndarray   # (capacity * V, 8) cell corners
+    slots: jnp.ndarray  # (num_bricks, 2) flat brick id -> slot, -1 invalid
+    shape: Tuple[int, int, int]
+    brick_vox: int
+
+    def _cells(self, px, py, pz):
+        """Anchor-cell decomposition: corner row + fractional weights."""
+        D, H, W = self.shape
+        v = self.brick_vox
+        Bx = W // v
+        By = H // v
+        cx = px * W - 0.5
+        cy = py * H - 0.5
+        cz = pz * D - 0.5
+        x0f, y0f, z0f = jnp.floor(cx), jnp.floor(cy), jnp.floor(cz)
+        # GL clamp semantics: out-of-range anchors clamp to the edge cell
+        # with zero fractional weight toward the missing tap (the +1 taps
+        # are edge-duplicated in the table build)
+        fx = jnp.clip(cx - x0f, 0.0, 1.0)
+        fy = jnp.clip(cy - y0f, 0.0, 1.0)
+        fz = jnp.clip(cz - z0f, 0.0, 1.0)
+        fx = jnp.where(x0f < 0.0, 0.0, fx)
+        fy = jnp.where(y0f < 0.0, 0.0, fy)
+        fz = jnp.where(z0f < 0.0, 0.0, fz)
+        x0 = jnp.clip(x0f.astype(jnp.int32), 0, W - 1)
+        y0 = jnp.clip(y0f.astype(jnp.int32), 0, H - 1)
+        z0 = jnp.clip(z0f.astype(jnp.int32), 0, D - 1)
+        bid = ((z0 // v) * By + y0 // v) * Bx + x0 // v
+        slot = self.slots[bid][..., 0]
+        valid = slot >= 0
+        local = ((z0 % v) * v + y0 % v) * v + x0 % v
+        rows = self.rows[
+            jnp.where(valid, slot, 0) * (v * v * v) + local
+        ].astype(jnp.float32)
+        return rows, valid, fx, fy, fz
+
+    def sample_p(self, px, py, pz, fill: float):
+        """Exact GL trilinear sample; ``fill`` where the cell is off-table
+        (off-table cells contain no 1-dilated positive voxel, so the clear
+        value -limit is the natural fill)."""
+        c, valid, fx, fy, fz = self._cells(px, py, pz)
+        c00 = c[..., 0] * (1 - fx) + c[..., 1] * fx
+        c01 = c[..., 2] * (1 - fx) + c[..., 3] * fx
+        c10 = c[..., 4] * (1 - fx) + c[..., 5] * fx
+        c11 = c[..., 6] * (1 - fx) + c[..., 7] * fx
+        val = (
+            (c00 * (1 - fy) + c01 * fy) * (1 - fz)
+            + (c10 * (1 - fy) + c11 * fy) * fz
+        )
+        return jnp.where(valid, val, fill)
+
+    def gradient_p(self, px, py, pz):
+        """Analytic gradient of the trilinear field within the anchor cell,
+        in volume-normalized units — the fast-path surface normal (the
+        trilinear field's true local slope; the reference's central
+        differences of trilinear samples at +-step approximate the same
+        quantity, glsl/tsdf_raymarch.fs:148-157)."""
+        D, H, W = self.shape
+        c, valid, fx, fy, fz = self._cells(px, py, pz)
+        wy0, wy1 = (1 - fy), fy
+        wz0, wz1 = (1 - fz), fz
+        gx = (
+            (c[..., 1] - c[..., 0]) * wy0 * wz0
+            + (c[..., 3] - c[..., 2]) * wy1 * wz0
+            + (c[..., 5] - c[..., 4]) * wy0 * wz1
+            + (c[..., 7] - c[..., 6]) * wy1 * wz1
+        ) * W
+        wx0, wx1 = (1 - fx), fx
+        gy = (
+            ((c[..., 2] - c[..., 0]) * wx0 + (c[..., 3] - c[..., 1]) * wx1)
+            * wz0
+            + ((c[..., 6] - c[..., 4]) * wx0 + (c[..., 7] - c[..., 5]) * wx1)
+            * wz1
+        ) * H
+        gz = (
+            ((c[..., 4] - c[..., 0]) * wx0 + (c[..., 5] - c[..., 1]) * wx1)
+            * wy0
+            + ((c[..., 6] - c[..., 2]) * wx0 + (c[..., 7] - c[..., 3]) * wx1)
+            * wy1
+        ) * D
+        g = jnp.stack([gx, gy, gz], axis=-1)
+        return g, valid
+
+
+jax.tree_util.register_dataclass(
+    OctVolume, data_fields=["rows", "slots"],
+    meta_fields=["shape", "brick_vox"],
+)
+
+
+def build_oct_bricks(
+    volume: jnp.ndarray,     # (Z, Y, X) raw fused TSDF (pre-sentinel)
+    occ: jnp.ndarray,        # (Bz, By, Bx) bool surface-brick mask
+    brick_vox: int,
+    capacity: int,
+    limit,
+    dtype=jnp.bfloat16,
+) -> OctVolume:
+    """Build the compact cell-corner table over the occupied bricks.
+
+    Extraction rides aligned x-run rows: the dense volume viewed as
+    (Z*Y*(X/v), v) rows makes each brick's extended (v+1)^3 block a
+    gather of 2*(v+1)^2 wide rows — ~150k rows at reference scale, far
+    from the 5M scalar gathers a per-corner fetch would cost. Requires the
+    volume dims to be brick-aligned (true at reference scale); callers
+    gate on that."""
+    Z, Y, X = volume.shape
+    v = brick_vox
+    Bz, By, Bx = Z // v, Y // v, X // v
+    B = Bz * By * Bx
+    V = v * v * v
+
+    occ_f = occ.reshape(-1)
+    (ids,) = jnp.nonzero(occ_f, size=capacity, fill_value=B)
+    slot_of = (
+        jnp.full((B,), -1, jnp.int32)
+        .at[ids]                       # fill ids == B fall out of range
+        .set(jnp.arange(capacity, dtype=jnp.int32), mode="drop")
+    )
+    slots = jnp.stack([slot_of, slot_of], axis=-1)
+
+    runs = volume.reshape(Z * Y * Bx, v)
+    idc = jnp.minimum(ids, B - 1)
+    bz = idc // (By * Bx)
+    by = (idc // Bx) % By
+    bx = idc % Bx
+    ez = jnp.minimum(
+        bz[:, None] * v + jnp.arange(v + 1), Z - 1
+    )                                               # (K, v+1) edge-clamped
+    ey = jnp.minimum(by[:, None] * v + jnp.arange(v + 1), Y - 1)
+    row_own = (
+        ez[:, :, None] * Y + ey[:, None, :]
+    ) * Bx + bx[:, None, None]                       # (K, v+1, v+1)
+    own = runs[row_own]                              # (K, v+1, v+1, v)
+    # +x column: first element of the next run (edge-duplicate at the face)
+    last_run = bx >= Bx - 1
+    nxt = runs[row_own + jnp.where(last_run, 0, 1)[:, None, None]]
+    xcol = jnp.where(last_run[:, None, None], own[..., -1], nxt[..., 0])
+    ext = jnp.concatenate([own, xcol[..., None]], axis=-1)  # (K, v+1, v+1, v+1)
+
+    corners = [
+        ext[:, dz: dz + v, dy: dy + v, dx: dx + v]
+        for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)
+    ]
+    rows = jnp.stack(corners, axis=-1).reshape(capacity * V, 8).astype(dtype)
+    return OctVolume(rows=rows, slots=slots, shape=(Z, Y, X), brick_vox=v)
+
+
+def oct_refine_crossing(
+    oct: OctVolume,
+    pos0,
+    dn,
+    lo_t: jnp.ndarray,
+    hi_t: jnp.ndarray,
+    hit: jnp.ndarray,
+    hit_pos: jnp.ndarray,
+    limit,
+) -> jnp.ndarray:
+    """Trilinear secant refinement at the crossing bracket, evaluated from
+    the compact oct table (2 row gathers instead of 8 pair-row gathers):
+    same math as :func:`refine_crossing`."""
+    p0x, p0y, p0z = pos0
+    dnx, dny, dnz = dn
+    v1 = oct.sample_p(
+        p0x + dnx * hi_t, p0y + dny * hi_t, p0z + dnz * hi_t, -limit
+    )
+    v0 = oct.sample_p(
+        p0x + dnx * lo_t, p0y + dny * lo_t, p0z + dnz * lo_t, -limit
+    )
+    denom = v1 - v0
+    ok = hit & (v1 > 0.0) & (v0 <= 0.0)
+    tstar = hi_t - (hi_t - lo_t) * (
+        v1 / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+    )
+    refined = jnp.stack(
+        [p0x + dnx * tstar, p0y + dny * tstar, p0z + dnz * tstar], axis=-1
+    )
+    return jnp.where(ok[..., None], refined, hit_pos)
 
 
 def march(

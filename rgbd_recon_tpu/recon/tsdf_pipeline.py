@@ -79,10 +79,11 @@ class RenderOutput:
     depth: jnp.ndarray        # (H, W) window depth [0,1]
     hit: jnp.ndarray          # (H, W) bool surface mask
     num_samples: jnp.ndarray  # (H, W) raymarch step counts (stats image)
-    # (3,) int32 [active blocks beyond block capacity, phase-2 rays beyond
-    # continuation capacity, hits beyond hit-shading capacity] — nonzero
-    # means pixels were dropped this frame (the silent truncations flagged
-    # in round 2 made observable)
+    # (4,) int32 [active blocks beyond block capacity, phase-2 rays beyond
+    # continuation capacity, hits beyond hit-shading capacity, surface
+    # bricks beyond the oct hit-table capacity] — nonzero means pixels
+    # were dropped (or shaded with fallback values) this frame (the silent
+    # truncations flagged in round 2 made observable)
     overflow: jnp.ndarray = None
 
 
@@ -621,6 +622,8 @@ class TsdfPipeline:
             out["blocks_dropped"] = int(ov[0])
             out["phase2_rays_dropped"] = int(ov[1])
             out["hits_dropped"] = int(ov[2])
+            if ov.shape[0] > 3:
+                out["oct_bricks_dropped"] = int(ov[3])
         return out
 
     # -- render --------------------------------------------------------------
@@ -649,17 +652,27 @@ class TsdfPipeline:
 
     def _shade_hits(self, packed, hit, hit_pos, maps, calib, proj_models,
                     cam: CamParams, near: float, far: float, limit=None,
-                    clamp_floor=None):
+                    clamp_floor=None, oct=None):
         """Normal + color + shading at hit positions (any batch shape).
         Returns (rgba, depth_win). The submitFragment half of the raymarch
-        shader (tsdf_raymarch.fs:116-142)."""
+        shader (tsdf_raymarch.fs:116-142). With ``oct`` (the compact
+        cell-corner table), the surface normal is the analytic gradient of
+        the trilinear field — one 8-wide row gather instead of six taps."""
         c = self.config
         bbox_sz = jnp.asarray(np.asarray(self.bbox.size, np.float32))
 
-        grad = raymarch.gradient_normal(
-            packed, hit_pos, limit, mode=c.march_mode,
-            clamp_floor=clamp_floor,
-        )
+        if oct is not None:
+            g, _gvalid = oct.gradient_p(
+                hit_pos[..., 0], hit_pos[..., 1], hit_pos[..., 2]
+            )
+            grad = -g / jnp.maximum(
+                jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-20
+            )
+        else:
+            grad = raymarch.gradient_normal(
+                packed, hit_pos, limit, mode=c.march_mode,
+                clamp_floor=clamp_floor,
+            )
         # volume-space gradient -> world via inverse-transpose of the
         # (diagonal) vol_to_world scale (recon_integration.cpp:200)
         n_world = grad / bbox_sz
@@ -987,12 +1000,26 @@ class TsdfPipeline:
             )
 
         skip_ = c.march_empty_skip and c.march_mode == "nearest"
+        # compact cell-corner hit table: fast path only, brick-aligned dims
+        use_oct = (
+            skip_ and c.oct_hit_table and brick_vox >= 2
+            and all(s % brick_vox == 0 for s in vol_shape)
+        )
+        oct_capacity = 2 * c.brick_capacity
+
+        def build_oct(volume, occ, limit):
+            """Compact cell-corner table from the RAW fused volume (exact
+            reference field values — no sentinels to clamp away)."""
+            return raymarch.build_oct_bricks(
+                volume, occ, brick_vox, oct_capacity, limit,
+                dtype=pack_dtype or jnp.float32,
+            )
 
         def bake(volume, brick_counts, limit):
-            """volume -> (PackedVolume, surface-brick mask, brick clearance
-            field, sentinel clamp floor). The single-device form of the
-            march-volume bake; dist/ reproduces it shard-wise with halo
-            exchange."""
+            """volume -> (PackedVolume, OctVolume | None, surface-brick
+            mask, brick clearance field, sentinel clamp floor). The
+            single-device form of the march-volume bake; dist/ reproduces
+            it shard-wise with halo exchange."""
             dil1 = _dilate3(volume > 0.0)
             if c.surface_skip:
                 occ = _brick_any(dil1, vol_shape, brick_vox)
@@ -1006,24 +1033,33 @@ class TsdfPipeline:
                     volume, fine_safe_field(volume > 0.0), bsafe, limit
                 )
                 packed = raymarch.PackedVolume.from_volume(
-                    vol_m, dtype=pack_dtype
+                    vol_m, dtype=pack_dtype, half=use_oct
                 )
+                oct = build_oct(volume, occ, limit) if use_oct else None
                 # the packed table feeds MANY gather consumers (march
                 # stages, refine, shading); without a barrier XLA clones
                 # the whole dilation-bake chain into each of them (the
                 # same rematerialization pathology measured in holefill)
-                pairs, occ, bsafe = jax.lax.optimization_barrier(
-                    (packed.pairs, occ, bsafe)
+                barrier = [packed.pairs, occ, bsafe]
+                if oct is not None:
+                    barrier += [oct.rows, oct.slots]
+                barrier = jax.lax.optimization_barrier(tuple(barrier))
+                pairs, occ, bsafe = barrier[:3]
+                packed = raymarch.PackedVolume(
+                    pairs=pairs, shape=packed.shape, half=packed.half
                 )
-                packed = raymarch.PackedVolume(pairs=pairs,
-                                               shape=packed.shape)
-                return packed, occ, bsafe, -limit
+                if oct is not None:
+                    oct = raymarch.OctVolume(
+                        rows=barrier[3], slots=barrier[4],
+                        shape=oct.shape, brick_vox=oct.brick_vox,
+                    )
+                return packed, oct, occ, bsafe, -limit
             packed = raymarch.PackedVolume.from_volume(volume)
             pairs, occ, bsafe = jax.lax.optimization_barrier(
                 (packed.pairs, occ, bsafe)
             )
             return (raymarch.PackedVolume(pairs=pairs, shape=packed.shape),
-                    occ, bsafe, None)
+                    None, occ, bsafe, None)
 
         def render_blocks(volume, maps: SensorMaps, brick_counts, calib,
                           cam: CamParams, proj_models, limit):
@@ -1047,7 +1083,7 @@ class TsdfPipeline:
             the entry the dist/ layer uses after its shard-wise bake."""
             Z, Y, X = vol_shape
             skip = skip_
-            packed, occ, bsafe, floor = baked
+            packed, oct, occ, bsafe, floor = baked
 
             dn = ray_dirs(cam, Hp, Wp)          # 3x (Hp, Wp) planes
             dirs_c = tuple(d[ds // 2::ds, ds // 2::ds] for d in dn)
@@ -1277,16 +1313,24 @@ class TsdfPipeline:
             # (trilinear samples — exact for parity mode too: the secant of
             # the same bracket on the same field). Rays whose trilinear
             # bracket does not confirm the crossing keep the march's own
-            # secant position (the reference's unrefined behavior).
-            hp = raymarch.refine_crossing(
-                packed, pos0_h, dn_h, sh[:, 3], sh[:, 4],
-                live_h, hit_pos_h,
-                clamp_floor=floor,
-            )
+            # secant position (the reference's unrefined behavior). The
+            # compact oct table evaluates the RAW fused field (one 8-wide
+            # row per sample) when available.
+            if oct is not None:
+                hp = raymarch.oct_refine_crossing(
+                    oct, pos0_h, dn_h, sh[:, 3], sh[:, 4],
+                    live_h, hit_pos_h, limit,
+                )
+            else:
+                hp = raymarch.refine_crossing(
+                    packed, pos0_h, dn_h, sh[:, 3], sh[:, 4],
+                    live_h, hit_pos_h,
+                    clamp_floor=floor,
+                )
 
             rgba_h, depth_h = self._shade_hits(
                 packed, live_h, hp, maps, calib, proj_models, cam, near, far,
-                limit=limit, clamp_floor=floor,
+                limit=limit, clamp_floor=floor, oct=oct,
             )
 
             rgba = (
@@ -1322,10 +1366,17 @@ class TsdfPipeline:
             hit_img = unblock(hit_out, False)
             num_img = unblock(num, 0)
 
+            oct_over = (
+                jnp.maximum(
+                    jnp.sum(occ.astype(jnp.int32)) - oct_capacity, 0
+                )
+                if oct is not None else jnp.int32(0)
+            )
             overflow = jnp.stack([
                 jnp.maximum(jnp.sum(flags.astype(jnp.int32)) - capB, 0),
                 overflow2,
                 jnp.maximum(jnp.sum(hit.astype(jnp.int32)) - capH, 0),
+                oct_over,
             ])
             return finalize(rgba_img, depth_img, hit_img, num_img, overflow)
 
@@ -1343,7 +1394,7 @@ class TsdfPipeline:
                 packed, hit, hit_pos, maps, calib, proj_models, cam, near, far,
                 limit=limit,
             )
-            overflow = jnp.zeros((3,), jnp.int32)
+            overflow = jnp.zeros((4,), jnp.int32)
             return finalize(rgba, depth_win, hit, num, overflow)
 
         render = render_blocks if use_blocks else render_dense
@@ -1359,6 +1410,10 @@ class TsdfPipeline:
         render.uses_sentinels = skip_
         render.use_blocks = use_blocks
         render.pack_dtype = pack_dtype if skip_ else None
+        # oct hit-table hooks for the dist/ layer: march tables use the
+        # half-pair layout iff the oct table serves the hit path
+        render.march_half = use_oct
+        render.build_oct = build_oct if use_oct else None
         cam0 = CamParams.from_camera(camera, self.bbox)
         return render, cam0
 
