@@ -170,6 +170,34 @@ class ProjectionModels:
         den = jnp.where(jnp.abs(den) < 1e-8, 1e-8, den)
         return (p @ self.cuv_num[i].T + self.cuv_off[i]) / den[..., None]
 
+    # -- planar forms: TPU lanes want (R,) component arrays, not (R, 3)
+    #    (a 3-wide minor axis runs at 3/128 lane utilization; the hit-path
+    #    blend evaluates these per sensor per hit) ----------------------
+
+    def uvd_p(self, i: int, px, py, pz):
+        """Planar world components -> (u, v, depth_norm) planes."""
+        A, b = self.uv_num[i], self.uv_off[i]
+        cden = self.uv_den[i]
+        den = px * cden[0] + py * cden[1] + pz * cden[2] + 1.0
+        den = jnp.where(jnp.abs(den) < 1e-8, 1e-8, den)
+        inv = 1.0 / den
+        u = (px * A[0, 0] + py * A[0, 1] + pz * A[0, 2] + b[0]) * inv
+        v = (px * A[1, 0] + py * A[1, 1] + pz * A[1, 2] + b[1]) * inv
+        g, h = self.d_lin[i], self.d_off[i]
+        d = px * g[0] + py * g[1] + pz * g[2] + h
+        return u, v, d
+
+    def color_uv_p(self, i: int, px, py, pz):
+        """Planar world components -> (u, v) color texcoord planes."""
+        A, b = self.cuv_num[i], self.cuv_off[i]
+        cden = self.cuv_den[i]
+        den = px * cden[0] + py * cden[1] + pz * cden[2] + 1.0
+        den = jnp.where(jnp.abs(den) < 1e-8, 1e-8, den)
+        inv = 1.0 / den
+        u = (px * A[0, 0] + py * A[0, 1] + pz * A[0, 2] + b[0]) * inv
+        v = (px * A[1, 0] + py * A[1, 1] + pz * A[1, 2] + b[1]) * inv
+        return u, v
+
 
 def derive_projection_models(
     cv_xyz: jnp.ndarray,   # (N, D, Hv, Wv, 3)

@@ -149,6 +149,15 @@ class PipelineConfig:
     # capacity to exhaustion — the long tail is grazing silhouette rays).
     # 0 disables the split (single full-length march).
     march_phase1_steps: int = 10
+    # Chunked parallel marching: each march iteration fetches this many
+    # affinely-spaced samples per ray in ONE wide gather; skip sentinels
+    # then jump only at chunk boundaries. Measured on TPU v5e the serial
+    # in-loop march already streams at ~237 M gather rows/s
+    # (scripts/profile_march_stages.py), so chunking LOSES there (fewer
+    # sentinel jumps per sample + selection overhead) — kept at 0; the
+    # knob remains for architectures where dependent in-loop gathers are
+    # slow. Applies to the nearest fast path only.
+    march_chunk: int = 0
     # Coarse interval-scan step as a fraction of the brick edge. The scan
     # targets the 1-brick-DILATED surface-brick set (a >=3-brick-wide slab
     # around any surface), so 0.5-brick steps cannot miss it; smaller =
@@ -179,6 +188,12 @@ class PipelineConfig:
     # geometry that the coarse-hit test approved.
     bracket_margin_steps: float = 3.0
     bracket_max_steps: float = 16.0
+    # Bracket the fine march with each block's OWN coarse-ray crossing
+    # bracket (widened by the 3x3 depth spread) instead of the pooled 3x3
+    # union — ~2x narrower windows on sloped surfaces; the same 3x3 trust
+    # guards gate it, and bracket misses still fall through to the
+    # full-interval tail stages.
+    bracket_per_block: bool = False
     # Fraction of compacted rays given hit-shading capacity (normals +
     # color blending run on the compacted hit set only). Hits beyond
     # capacity render as background and are counted in
@@ -218,6 +233,11 @@ class PipelineConfig:
     # that rays march end to end without hitting anything. Identical hit
     # results, much tighter intervals.
     surface_skip: bool = True
+    # Perf-diagnostic switches (comma list): "blend" replaces the color
+    # blend with a constant, "refine" skips the secant re-refinement,
+    # "grad" uses a fixed normal. For profiling stage costs only — never
+    # set in production configs.
+    debug_skip: str = ""
     # Brick-marking pixel stride: every stride-th pixel scatters stride^2
     # counts (see TsdfPipeline._mark_bricks). 1 = reference-exact; at 3,
     # a brick passes the >10 threshold with >=2 lattice samples (a 10 cm

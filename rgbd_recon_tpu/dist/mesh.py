@@ -205,15 +205,19 @@ def shard_compact_step(pipeline, camera, mesh: Mesh, axis_name: str = "z"):
             vol_m = jax.lax.with_sharding_constraint(vol_m_pad[:Z], repl)
             oct = None
             if render_fn.build_oct is not None:
-                # the oct table wants the RAW fused field; recover it from
-                # the gathered march volume by clamping the skip sentinels
-                # back to the clear value (sentinel voxels are >= 2 voxels
-                # from any positive, where the raw TSDF sits at the
-                # -limit truncation floor)
-                oct = render_fn.build_oct(
-                    jnp.maximum(vol_m.astype(jnp.float32), -limit),
-                    occ_pad[:Bz], limit,
+                # the oct table wants the RAW fused field: gather it
+                # explicitly (f32, ~35 MB at reference scale — a second
+                # documented collective). Reconstructing it from the
+                # sentinel-coded march volume by clamping to -limit is NOT
+                # exact in general: multi-sensor weighted fusion (or
+                # tsdf_limit >> voxel_size) can leave raw values in
+                # (-limit, 0) at sentinel-coded voxels, which would make
+                # the oct secant/gradient diverge from the single-device
+                # path and break the bitwise parity contract.
+                vol_raw = jax.lax.with_sharding_constraint(
+                    vol_pad[:Z], repl
                 )
+                oct = render_fn.build_oct(vol_raw, occ_pad[:Bz], limit)
             baked = (
                 PackedVolume.from_volume(
                     vol_m, dtype=render_fn.pack_dtype,

@@ -40,8 +40,6 @@ def mark_bricks(
 
     # own brick: +1 for every valid pixel
     flat_own = (idx[:, 2] * by + idx[:, 1]) * bx + idx[:, 0]
-    counts = jnp.zeros((bz * by * bx,), jnp.int32)
-    counts = counts.at[flat_own].add(v.astype(jnp.int32))
 
     # neighbor brick along the dominant-offset axis (inc_bricks.glsl:42-52)
     brick_center = (idx.astype(jnp.float32) + 0.5) * brick_size + bbox_min
@@ -55,7 +53,31 @@ def mark_bricks(
     )
     flat_n = (nidx[:, 2] * by + nidx[:, 1]) * bx + nidx[:, 0]
     near_border = d_abs[:, 0] > brick_size * 0.1  # quirk: x-axis only (:52)
-    counts = counts.at[flat_n].add((v & near_border).astype(jnp.int32))
+
+    # Histogram as a one-hot MXU matmul instead of a scatter-add: TPU
+    # scatter serializes on duplicate indices (and thousands of pixels
+    # share each brick), while counts[b] = sum_p onehot_hi[p] x
+    # onehot_lo[p] is an exact (P, Hh) @ (P, G) contraction the systolic
+    # array does for free (0/1 bf16 inputs, f32 accumulation — exact for
+    # counts far beyond any sensor resolution).
+    flat = jnp.concatenate([flat_own, flat_n])
+    val = jnp.concatenate([v, v & near_border])
+    B = bz * by * bx
+    G = 128
+    Hh = -(-B // G)
+    hi = flat // G
+    lo = flat % G
+    oh_hi = (
+        (hi[:, None] == jnp.arange(Hh, dtype=jnp.int32)[None, :])
+        & val[:, None]
+    ).astype(jnp.bfloat16)
+    oh_lo = (
+        lo[:, None] == jnp.arange(G, dtype=jnp.int32)[None, :]
+    ).astype(jnp.bfloat16)
+    counts = jnp.einsum(
+        "ph,pg->hg", oh_hi, oh_lo, preferred_element_type=jnp.float32
+    )
+    counts = counts.reshape(-1)[:B].astype(jnp.int32)
 
     return counts.reshape(bz, by, bx)
 

@@ -618,6 +618,134 @@ def march(
     return hit, hit_pos, num
 
 
+def march_chunked(
+    packed: "PackedVolume",
+    pos0,                        # planar (px, py, pz) start positions
+    dn,                          # planar (dx, dy, dz) unit directions
+    limit,
+    max_steps: int,
+    ray_len: jnp.ndarray,        # (...) marchable arc length from pos0
+    chunk: int,
+    sentinel_skip: bool = False,
+    sentinel_scale: float = 1.0,
+    resume=None,
+):
+    """Chunked parallel nearest-march: each while iteration fetches
+    ``chunk`` affinely-spaced samples per ray in ONE wide gather and
+    locates the first sign change by reduction along the sample axis.
+
+    The serial ``march`` loop issues one data-DEPENDENT gather per step,
+    which runs at the in-loop gather rate (~55-80 M rows/s,
+    scripts/probe_while_cost.py); within a chunk the sample positions are
+    affine in the step index, so the whole chunk is one parallel gather at
+    the streaming rate (~250 M rows/s from the half-packed table) — a
+    ~3-4x cut of the march's dominant cost. Skip sentinels (the baked
+    Chebyshev clearance field) still accelerate empty space: at each chunk
+    boundary the next chunk starts at the FURTHEST point certified safe by
+    any sample in the chunk (classic sphere tracing, applied per chunk
+    instead of per step).
+
+    Crossing semantics match ``march(mode="nearest")``: uniform ``sd``
+    spacing inside a chunk gives brackets of exactly one step, and the
+    secant zero of the (t_lo, t_hi) bracket reproduces
+    glsl/tsdf_raymarch.fs:98-101 for uniform steps.
+
+    Returns (hit, num, state) with state = (t, prev_t, prev, lo_t, hi_t,
+    hit_t) — the same layout ``march(return_state=True)`` produces, so the
+    pipeline's tail-recompaction stages can mix the two implementations.
+    """
+    sd = limit * 0.5
+    C = int(chunk)
+    n_chunks = -(-int(max_steps) // C)
+    p0x, p0y, p0z = pos0
+    dnx, dny, dnz = dn
+    batch = dnx.shape
+    ks = jnp.arange(C, dtype=jnp.float32)
+    kints = jnp.arange(C, dtype=jnp.int32)
+
+    if resume is not None:
+        t_init, prev_t_init, prev_init = resume
+    else:
+        t_init = jnp.zeros(batch, jnp.float32)
+        prev_t_init = jnp.zeros(batch, jnp.float32)
+        prev_init = jnp.full(batch, -limit, jnp.float32)
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros(batch, bool),                     # hit
+        t_init,
+        prev_t_init,
+        prev_init,
+        jnp.zeros(batch, jnp.float32),              # hit_t
+        jnp.zeros(batch, jnp.float32),              # lo_t
+        jnp.zeros(batch, jnp.float32),              # hi_t
+        jnp.zeros(batch, jnp.int32),                # num samples
+    )
+
+    def cond(carry):
+        k, hit, t = carry[0], carry[1], carry[2]
+        return (k < n_chunks) & jnp.any(
+            (~hit) & (t <= ray_len) & (ray_len > 0.0)
+        )
+
+    def body(carry):
+        k, hit, t, prev_t, prev, hit_t, lo_t, hi_t, num = carry
+        active = (~hit) & (t <= ray_len) & (ray_len > 0.0)
+        tk = t[..., None] + ks * sd                     # (..., C)
+        raw = packed.sample_nearest_p(
+            p0x[..., None] + dnx[..., None] * tk,
+            p0y[..., None] + dny[..., None] * tk,
+            p0z[..., None] + dnz[..., None] * tk,
+        )                                               # one (..., C) gather
+        density = jnp.maximum(raw, -limit)
+        in_len = tk <= ray_len[..., None]
+        pos = (density > 0.0) & in_len
+        found = active & jnp.any(pos, axis=-1)
+        kstar = jnp.argmax(pos, axis=-1)                # first positive
+        # masked-sum selects (full-lane) instead of per-row take gathers
+        sel = (kints == kstar[..., None]).astype(jnp.float32)
+        d_hi = jnp.sum(density * sel, axis=-1)
+        t_hi = t + kstar.astype(jnp.float32) * sd
+        selm1 = (kints == (kstar - 1)[..., None]).astype(jnp.float32)
+        d_lo_in = jnp.sum(density * selm1, axis=-1)
+        first = kstar == 0
+        d_lo = jnp.where(first, prev, d_lo_in)
+        t_lo = jnp.where(first, prev_t, t_hi - sd)
+        denom = d_hi - d_lo
+        tstar = t_hi - (t_hi - t_lo) * (
+            d_hi / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+        )
+        hit_t = jnp.where(found, tstar, hit_t)
+        lo_t = jnp.where(found, t_lo, lo_t)
+        hi_t = jnp.where(found, t_hi, hi_t)
+        n_in = jnp.sum(in_len.astype(jnp.int32), axis=-1)
+        num = num + jnp.where(
+            active, jnp.where(found, kstar + 1, n_in), 0
+        )
+        # next-chunk start: one step past the last sample, or the furthest
+        # point any sentinel sample certifies surface-free
+        t_last = t + (C - 1) * sd
+        if sentinel_skip:
+            clr = (-raw - 2.0) * sentinel_scale
+            certified = jnp.max(
+                jnp.where(in_len & (raw < -1.5), tk + clr, -jnp.inf),
+                axis=-1,
+            )
+            t_next = jnp.maximum(t_last + sd, certified)
+        else:
+            t_next = t_last + sd
+        cont = active & ~found
+        prev_t = jnp.where(cont, t_last, prev_t)
+        prev = jnp.where(cont, density[..., C - 1], prev)
+        t = jnp.where(cont, t_next, t)
+        return (k + 1, hit | found, t, prev_t, prev, hit_t, lo_t, hi_t, num)
+
+    (_, hit, t, prev_t, prev, hit_t, lo_t, hi_t, num) = jax.lax.while_loop(
+        cond, body, init
+    )
+    return hit, num, (t, prev_t, prev, lo_t, hi_t, hit_t)
+
+
 def refine_crossing(
     packed: "PackedVolume",
     pos0: jnp.ndarray,
@@ -812,6 +940,38 @@ def blend_colors_fast(
     return _blend_finalize(acc)
 
 
+def _pack_quad_2d(base: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    """(N, H, W, C) -> (N, H*W, 4C): row (y, x) holds the C channels at
+    ALL FOUR bilinear corners (x, y), (x+1, y), (x, y+1), (x+1, y+1),
+    edge-clamped — one row gather fetches a complete bilinear footprint
+    (gather cost on TPU is per row and near-flat in row width)."""
+    if dtype is not None:
+        base = base.astype(dtype)
+    N, H, W, C = base.shape
+    px = jnp.concatenate([base[:, :, 1:], base[:, :, -1:]], axis=2)
+    row2 = jnp.concatenate([base, px], axis=-1)
+    rdn = jnp.concatenate([row2[:, 1:], row2[:, -1:]], axis=1)
+    return jnp.concatenate([row2, rdn], axis=-1).reshape(N, H * W, 4 * C)
+
+
+def _quad_bilinear_p(table, Ht, Wt, u, v):
+    """Bilinear sample from one sensor's quad-packed (Ht*Wt, 4C) table in
+    ONE row gather; planar (u, v) inputs; exact GL semantics. Returns
+    (..., C) f32."""
+    cx = u * Wt - 0.5
+    cy = v * Ht - 0.5
+    x0f, y0f = jnp.floor(cx), jnp.floor(cy)
+    fx = jnp.where(x0f < 0.0, 0.0, cx - x0f)[..., None]
+    fy = jnp.where(y0f < 0.0, 0.0, cy - y0f)[..., None]
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, Wt - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, Ht - 1)
+    r = table[y0 * Wt + x0].astype(jnp.float32)
+    C = r.shape[-1] // 4
+    c0 = r[..., :C] * (1 - fx) + r[..., C:2 * C] * fx
+    c1 = r[..., 2 * C:3 * C] * (1 - fx) + r[..., 3 * C:] * fx
+    return c0 * (1 - fy) + c1 * fy
+
+
 def blend_colors_analytic(
     world_pos: jnp.ndarray,      # (..., 3) WORLD-space hit positions
     proj_models,                 # calib.sensors.ProjectionModels
@@ -823,52 +983,77 @@ def blend_colors_analytic(
 ):
     """Fastest blend variant: the cv_xyz_inv and cv_uv lookups are replaced
     by the analytic per-sensor projection models (pure elementwise math,
-    zero gather rows), leaving only the sensor-map fetches. Exact for
-    pinhole calibrations — the analytic projection is in fact *more*
-    accurate than the k-NN/IDW-baked inverse volume it replaces;
+    zero gather rows), leaving only the sensor-map fetches — per hit per
+    sensor ONE quad-packed color row (all four bilinear corners) and one
+    depth/quality row. Model evaluation and weights run on PLANAR (R,)
+    component arrays (a 3-wide minor axis runs at 3/128 lane utilization).
+    Exact for pinhole calibrations — the analytic projection is in fact
+    *more* accurate than the k-NN/IDW-baked inverse volume it replaces;
     non-pinhole rigs fall back to blend_colors_fast via the fit-residual
     gate (PipelineConfig.projection_model).
 
     ``dq_taps="nearest"`` fetches the depth/quality WEIGHT maps at the
-    nearest texel (1 packed row instead of 2 — the same approximation the
-    integrate taps default to; the maps are bilateral-smoothed so the
-    inter-pixel variation is sub-voxel). Colors stay bilinear."""
+    nearest texel (the same approximation the integrate taps default to;
+    the maps are bilateral-smoothed so the inter-pixel variation is
+    sub-voxel). Colors stay bilinear."""
     N = colors.shape[0]
     H, W = depths.shape[1:3]
     Hc, Wc = colors.shape[1:3]
+    px = world_pos[..., 0]
+    py = world_pos[..., 1]
+    pz = world_pos[..., 2]
 
-    acc = (
-        jnp.zeros(world_pos.shape[:-1] + (3,), jnp.float32),
-        jnp.zeros(world_pos.shape[:-1], jnp.float32),
-        jnp.zeros(world_pos.shape[:-1] + (3,), jnp.float32),
-        jnp.zeros(world_pos.shape[:-1], jnp.float32),
-    )
-    col8 = _pack_pairs_2d(
+    shape = px.shape
+    tc = [jnp.zeros(shape, jnp.float32) for _ in range(3)]
+    tw = jnp.zeros(shape, jnp.float32)
+    tc2 = [jnp.zeros(shape, jnp.float32) for _ in range(3)]
+    tw2 = jnp.zeros(shape, jnp.float32)
+
+    col16 = _pack_quad_2d(
         jnp.concatenate([colors, jnp.zeros_like(colors[..., :1])], axis=-1),
         dtype=jnp.bfloat16,
     )
     if dq_taps == "nearest":
         dq2 = jnp.stack([depths, qualities], axis=-1).reshape(N, H * W, 2)
     else:
-        dq4 = _pack_pairs_2d([depths, qualities])
+        dq8 = _pack_quad_2d(jnp.stack([depths, qualities], axis=-1))
 
     for i in range(N):
-        uvd = proj_models.uvd(i, world_pos)
-        in_frustum = jnp.all((uvd >= 0.0) & (uvd <= 1.0), axis=-1)
-        pos_color = proj_models.color_uv(i, world_pos)
-        col = _pair_bilinear(col8[i], Hc, Wc, pos_color)[..., :3]
+        u, v, d = proj_models.uvd_p(i, px, py, pz)
+        in_frustum = (
+            (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
+            & (d >= 0.0) & (d <= 1.0)
+        )
+        cu, cv_ = proj_models.color_uv_p(i, px, py, pz)
+        col = _quad_bilinear_p(col16[i], Hc, Wc, cu, cv_)
         if dq_taps == "nearest":
-            xi = jnp.clip((uvd[..., 0] * W).astype(jnp.int32), 0, W - 1)
-            yi = jnp.clip((uvd[..., 1] * H).astype(jnp.int32), 0, H - 1)
+            xi = jnp.clip((u * W).astype(jnp.int32), 0, W - 1)
+            yi = jnp.clip((v * H).astype(jnp.int32), 0, H - 1)
             dqv = dq2[i][yi * W + xi]
         else:
-            dqv = _pair_bilinear(dq4[i], H, W, uvd[..., :2])
-        acc = _blend_accumulate(
-            i, col, dqv[..., 0], dqv[..., 1], uvd[..., 2], in_frustum,
-            limit, acc,
-        )
+            dqv = _quad_bilinear_p(dq8[i], H, W, u, v)
+        depth = dqv[..., 0]
+        qual = dqv[..., 1]
+        # exact weight formula of blendColors (tsdf_raymarch.fs:303-338)
+        dist = jnp.abs(depth - d)
+        qual = jnp.where((dist < limit) & in_frustum, qual, 0.0)
+        w = qual / (dist + 0.01)
+        w2 = jnp.where(in_frustum, 1.0 / jnp.maximum(dist, 1e-20), 0.0)
+        for j in range(3):
+            tc[j] = tc[j] + col[..., j] * w
+            tc2[j] = tc2[j] + col[..., j] * w2
+        tw = tw + w
+        tw2 = tw2 + w2
 
-    return _blend_finalize(acc)
+    use_primary = tw > 0.0
+    inv_w = 1.0 / jnp.maximum(tw, 1e-20)
+    inv_w2 = 1.0 / jnp.maximum(tw2, 1e-20)
+    rgb = [
+        jnp.where(use_primary, tc[j] * inv_w, tc2[j] * inv_w2)
+        for j in range(3)
+    ]
+    alpha = jnp.where(use_primary, 1.0, -1.0)
+    return jnp.stack(rgb + [alpha], axis=-1)
 
 
 def blend_colors(

@@ -255,8 +255,19 @@ def occupied_brick_ids(
     observed 3-5.5% occupancy headroom) — check
     :func:`occupied_brick_overflow` to observe drops."""
     occ = (counts > min_voxels).reshape(-1)
-    (ids,) = jnp.nonzero(occ, size=capacity, fill_value=occ.shape[0])
-    return ids
+    B = occ.shape[0]
+    if capacity >= B:
+        # small grids: every brick id fits — no compaction needed
+        ids = jnp.where(occ, jnp.arange(B, dtype=jnp.int32), B)
+        return jnp.concatenate(
+            [jnp.sort(ids), jnp.full((capacity - B,), B, jnp.int32)]
+        )
+    # top_k compaction instead of jnp.nonzero: picks the `capacity`
+    # smallest occupied ids in ascending order (identical result), and
+    # measures ~1.6x faster on the TPU (scripts/probe_compact.py)
+    neg = jnp.where(occ, -jnp.arange(B, dtype=jnp.int32), -B)
+    vals, _ = jax.lax.top_k(neg, capacity)
+    return jnp.where(vals > -B, -vals, B)
 
 
 def occupied_brick_overflow(

@@ -660,14 +660,30 @@ class TsdfPipeline:
         the trilinear field — one 8-wide row gather instead of six taps."""
         c = self.config
         bbox_sz = jnp.asarray(np.asarray(self.bbox.size, np.float32))
+        dbg = set(filter(None, c.debug_skip.split(",")))
 
-        if oct is not None:
-            g, _gvalid = oct.gradient_p(
+        if "grad" in dbg:
+            grad = jnp.zeros_like(hit_pos).at[..., 2].set(1.0)
+        elif oct is not None:
+            g, gvalid = oct.gradient_p(
                 hit_pos[..., 0], hit_pos[..., 1], hit_pos[..., 2]
             )
             grad = -g / jnp.maximum(
                 jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-20
             )
+            # hits anchored outside the oct table (surface bricks beyond
+            # capacity — observable via RenderOutput.overflow[3]) would
+            # otherwise shade with slot 0's unrelated corners: fall back
+            # to a toward-camera normal (flat shading) instead of garbage.
+            # The fallback is built in volume-gradient space (scaled by
+            # bbox) so the world-space transform below yields a unit
+            # toward-camera world normal.
+            w = cam.eye_w - (hit_pos * bbox_sz + calib.bbox_min)
+            fb = w * bbox_sz
+            fb = fb / jnp.maximum(
+                jnp.linalg.norm(fb, axis=-1, keepdims=True), 1e-20
+            )
+            grad = jnp.where(gvalid[..., None], grad, fb)
         else:
             grad = raymarch.gradient_normal(
                 packed, hit_pos, limit, mode=c.march_mode,
@@ -684,7 +700,9 @@ class TsdfPipeline:
         view_pos = (world_pos - cam.eye_w) @ cam.rot
         view_normal = n_world @ cam.rot
 
-        if c.shade_mode == 3:
+        if "blend" in dbg:
+            rgba = jnp.full(hit_pos.shape[:-1] + (4,), 0.7, jnp.float32)
+        elif c.shade_mode == 3:
             rgb = raymarch.blend_cameras(
                 hit_pos, calib.cv_xyz_inv, maps.depth[..., 0], maps.quality,
                 limit,
@@ -798,10 +816,17 @@ class TsdfPipeline:
             and Hb >= 4 and Wb >= 4
         )
 
-        # coarse scan step: fraction of the smallest normalized brick edge.
-        # The scan targets the 1-brick-dilated surface-brick set, so a
-        # half-brick step cannot cross it unsampled (the dilated slab is
-        # >= 3 bricks wide around any surface brick).
+        # coarse scan step: fraction of the smallest normalized brick edge
+        # (default 0.75). The scan targets the 1-brick-dilated
+        # surface-brick set, whose in-set run along any crossing ray is
+        # >= one full brick edge, so any step <= 1.0 brick cannot cross it
+        # unsampled; beyond 1.0 the detection guarantee breaks.
+        if not (0.0 < c.interval_step_frac <= 1.0):
+            raise ValueError(
+                "interval_step_frac must be in (0, 1]: the dilated-set "
+                f"detection guarantee breaks beyond 1.0 (got "
+                f"{c.interval_step_frac})"
+            )
         h_min = 1.0 / max(vol_shape)
         brick_norm = brick_vox * h_min
         step_len = c.interval_step_frac * brick_norm
@@ -860,9 +885,10 @@ class TsdfPipeline:
             reduced along the sample axis: a serialized while-loop scan ran
             at the in-loop dependent-gather rate (~55-80 M rows/s,
             scripts/probe_while_cost.py) where one wide gather streams at
-            ~250 M rows/s from the brick-sized table. Sample spacing never
-            exceeds half the (conservative) brick edge, which cannot cross
-            the >= 2-brick-wide dilated slab around any surface brick
+            ~250 M rows/s from the brick-sized table. Sample spacing is
+            capped at interval_step_frac (validated <= 1.0) of the
+            conservative brick edge: the dilated in-set run along any
+            crossing ray is >= one brick edge, so it cannot be crossed
             unsampled; spans shorter than the sample budget are sampled
             proportionally finer."""
             Bz, By, Bx = occ.shape
@@ -913,7 +939,15 @@ class TsdfPipeline:
             big = jnp.float32(np.inf)
             first = jnp.min(jnp.where(tgt, t, big), axis=-1)
             last = jnp.max(jnp.where(surf, t, -big), axis=-1)
-            return first, last, s0, jnp.where(valid, s1, 0.0)
+            # first sample inside an actual SURFACE brick: any crossing in
+            # a SAMPLED surface brick lies at >= fsurf - one brick edge
+            # (the sample is within 0.75 brick of the crossing along the
+            # ray), so the march can skip the shell run-up before it. A
+            # crossing in a corner-clipped brick with no sample has the
+            # same exposure as the existing far bound (``last`` is also
+            # sample-based); 3x3 pooling adds conservatism.
+            fsurf = jnp.min(jnp.where(surf, t, big), axis=-1)
+            return first, last, fsurf, s0, jnp.where(valid, s1, 0.0)
 
         def pool3(x, op):
             p = jnp.pad(x, 1, mode="edge")
@@ -1000,12 +1034,22 @@ class TsdfPipeline:
             )
 
         skip_ = c.march_empty_skip and c.march_mode == "nearest"
-        # compact cell-corner hit table: fast path only, brick-aligned dims
-        use_oct = (
-            skip_ and c.oct_hit_table and brick_vox >= 2
+        # half-pair march table: fast path only, brick-aligned even dims
+        use_half = (
+            skip_ and brick_vox >= 2
             and all(s % brick_vox == 0 for s in vol_shape)
+            and vol_shape[2] % 2 == 0
         )
-        oct_capacity = 2 * c.brick_capacity
+        # compact cell-corner hit table (rides the half-pair layout).
+        # Gated on surface_skip: the marked-occupancy mask used otherwise
+        # can both overflow the oct capacity and miss dilated-positive
+        # bricks at faces, so hits would systematically anchor off-table.
+        use_oct = use_half and c.oct_hit_table and c.surface_skip
+        # 1.2x headroom over the integrate capacity: the surface-brick set
+        # (dilated positives) tracks the occupied set closely, and the
+        # build's row writes are the bake's dominant cost (drops are
+        # observable via RenderOutput.overflow[3])
+        oct_capacity = -(-int(1.2 * c.brick_capacity) // 8) * 8
 
         def build_oct(volume, occ, limit):
             """Compact cell-corner table from the RAW fused volume (exact
@@ -1015,11 +1059,49 @@ class TsdfPipeline:
                 dtype=pack_dtype or jnp.float32,
             )
 
+        # fused Pallas bake: all dilation rounds + sentinel encode + dtype
+        # cast stay VMEM-resident (one volume read + one half-size write
+        # instead of ~25 XLA passes); jnp remains the reference path, the
+        # CPU fallback, and the dist/ shard-wise form
+        from ..ops import bake_pallas
+
+        use_pallas_bake = (
+            skip_ and use_half and c.surface_skip
+            and brick_vox >= c.skip_fine_rounds
+            and bake_pallas.have_pallas_tpu()
+        )
+
         def bake(volume, brick_counts, limit):
             """volume -> (PackedVolume, OctVolume | None, surface-brick
             mask, brick clearance field, sentinel clamp floor). The
             single-device form of the march-volume bake; dist/ reproduces
             it shard-wise with halo exchange."""
+            if use_pallas_bake:
+                occ = bake_pallas.surface_occ_tpu(volume, brick_vox)
+                bsafe = brick_safe_field(occ)
+                vol_mp = bake_pallas.sentinel_bake_tpu(
+                    volume, bsafe * float(brick_vox), brick_vox,
+                    c.skip_fine_rounds,
+                    out_dtype=pack_dtype or jnp.float32,
+                )
+                # half-pair pack is a pure reshape of the kernel output
+                packed = raymarch.PackedVolume(
+                    pairs=vol_mp.reshape(-1, 2), shape=vol_shape, half=True
+                )
+                oct = build_oct(volume, occ, limit) if use_oct else None
+                barrier = [packed.pairs, occ, bsafe]
+                if oct is not None:
+                    barrier += [oct.rows, oct.slots]
+                barrier = jax.lax.optimization_barrier(tuple(barrier))
+                packed = raymarch.PackedVolume(
+                    pairs=barrier[0], shape=vol_shape, half=True
+                )
+                if oct is not None:
+                    oct = raymarch.OctVolume(
+                        rows=barrier[3], slots=barrier[4],
+                        shape=oct.shape, brick_vox=oct.brick_vox,
+                    )
+                return packed, oct, barrier[1], barrier[2], -limit
             dil1 = _dilate3(volume > 0.0)
             if c.surface_skip:
                 occ = _brick_any(dil1, vol_shape, brick_vox)
@@ -1033,7 +1115,7 @@ class TsdfPipeline:
                     volume, fine_safe_field(volume > 0.0), bsafe, limit
                 )
                 packed = raymarch.PackedVolume.from_volume(
-                    vol_m, dtype=pack_dtype, half=use_oct
+                    vol_m, dtype=pack_dtype, half=use_half
                 )
                 oct = build_oct(volume, occ, limit) if use_oct else None
                 # the packed table feeds MANY gather consumers (march
@@ -1084,6 +1166,30 @@ class TsdfPipeline:
             Z, Y, X = vol_shape
             skip = skip_
             packed, oct, occ, bsafe, floor = baked
+            chunked = c.march_chunk > 0 and c.march_mode == "nearest"
+
+            def do_march(pos0, dirs, budget, length, resume=None,
+                         chunk=None):
+                """March dispatch: chunked parallel gathers when ``chunk``
+                is set (dense bracketed work: the whole window is one wide
+                gather at the streaming rate), the serial sentinel loop
+                otherwise (sparse long-distance work: per-step jumps cover
+                far more ground per sample). Returns (hit, num, state)
+                with state = (t, prev_t, prev, lo_t, hi_t, hit_t)."""
+                if chunked and chunk:
+                    return raymarch.march_chunked(
+                        packed, pos0, dirs, limit, budget, length,
+                        chunk=min(chunk, budget),
+                        sentinel_skip=skip, sentinel_scale=h_min,
+                        resume=resume,
+                    )
+                hit, _, num, st = raymarch.march(
+                    packed, cam.eye_vol, dirs, limit, budget,
+                    (pos0, length), mode=c.march_mode, resume=resume,
+                    refine_nearest=False, sentinel_skip=skip,
+                    sentinel_scale=h_min, return_state=True,
+                )
+                return hit, num, st
 
             dn = ray_dirs(cam, Hp, Wp)          # 3x (Hp, Wp) planes
             dirs_c = tuple(d[ds // 2::ds, ds // 2::ds] for d in dn)
@@ -1094,7 +1200,7 @@ class TsdfPipeline:
             # the conservative guarantee is preserved with 4x fewer scan
             # rays; the per-block density march re-tightens the brackets
             sc = 2
-            first_c, last_c, s0_c, s1_c = scan_intervals(
+            first_c, last_c, fsurf_c, s0_c, s1_c = scan_intervals(
                 occ, bsafe, cam, tuple(d[::sc, ::sc] for d in dirs_c)
             )
 
@@ -1110,6 +1216,7 @@ class TsdfPipeline:
 
             first = upc(first_c, jnp.minimum)
             last = upc(last_c, jnp.maximum)
+            fsurf = upc(fsurf_c, jnp.minimum)
             s0p = upc(s0_c, jnp.minimum)
             s1p = upc(s1_c, jnp.maximum)
             # scan discretization guard: the true dilated-set entry is at
@@ -1118,7 +1225,13 @@ class TsdfPipeline:
             # the entry
             pad = 0.75 * step_len
             found = jnp.isfinite(first) & jnp.isfinite(last)
-            s_start = jnp.maximum(first - pad, s0p)
+            # skip the shell run-up: no crossing can precede the first
+            # surface-brick sample by more than a brick edge (see
+            # scan_intervals) — tangent rays otherwise crawl through long
+            # shell-only stretches before reaching the surface bricks
+            s_start = jnp.maximum(
+                jnp.maximum(first - pad, fsurf - brick_norm - pad), s0p
+            )
             s_end = jnp.minimum(last + step_len + pad, s1p)
             length = jnp.where(found, jnp.maximum(s_end - s_start, 0.0), 0.0)
             s_start = jnp.where(found, s_start, 0.0)
@@ -1141,10 +1254,8 @@ class TsdfPipeline:
             pos0_c = tuple(
                 cam.eye_vol[i] + dirs_cb[i] * sstart_c for i in range(3)
             )
-            bhit, _, _, bst = raymarch.march(
-                packed, cam.eye_vol, dirs_cb, limit, blk_budget,
-                (pos0_c, len_c), mode=c.march_mode, refine_nearest=False,
-                sentinel_skip=skip, sentinel_scale=h_min, return_state=True,
+            bhit, _, bst = do_march(
+                pos0_c, dirs_cb, blk_budget, len_c
             )
             blo = sstart_c + bst[3]
             bhi = sstart_c + bst[4]
@@ -1170,14 +1281,28 @@ class TsdfPipeline:
             bracket_ok = (
                 all9
                 & ((hi9 - lo9) < c.bracket_max_steps * sd)
-                & ((lo9 - first) < 2.0 * brick_norm + pad)
+                & ((lo9 - s_start) < 2.0 * brick_norm + pad)
             )
+            if c.bracket_per_block:
+                # each block's OWN coarse-ray bracket, widened by the 3x3
+                # depth spread (the local surface slope bound): much
+                # narrower than the pooled union on sloped surfaces, so
+                # the chunked fine march covers it in one ~12-sample
+                # chunk. Guards above still use the pooled values.
+                spread = 0.125 * (hi9 - lo9)
+                blo_b = jnp.where(jnp.isfinite(lo_g), lo_g, s_start)
+                bhi_b = jnp.where(jnp.isfinite(hi_g), hi_g, s_end)
+                b_lo = blo_b - margin - spread
+                b_hi = bhi_b + margin + spread
+            else:
+                b_lo = lo9 - margin
+                b_hi = hi9 + margin
             f_start = jnp.where(
-                bracket_ok, jnp.maximum(lo9 - margin, s_start), s_start
+                bracket_ok, jnp.maximum(b_lo, s_start), s_start
             )
             len_brkt = jnp.where(
                 found & bracket_ok,
-                jnp.maximum(jnp.minimum(hi9 + margin, s_end) - f_start, 0.0),
+                jnp.maximum(jnp.minimum(b_hi, s_end) - f_start, 0.0),
                 length,
             )
             len_full = jnp.maximum(
@@ -1225,11 +1350,8 @@ class TsdfPipeline:
             overflow2 = jnp.int32(0)
             if c.march_phase1_steps > 0 and skip:
                 p1 = c.march_phase1_steps
-                hit, _, num, st = raymarch.march(
-                    packed, cam.eye_vol, dn_f, limit, p1,
-                    (pos0_f, len_brkt_f), mode=c.march_mode,
-                    refine_nearest=False, sentinel_skip=skip,
-                    sentinel_scale=h_min, return_state=True,
+                hit, num, st = do_march(
+                    pos0_f, dn_f, p1, len_brkt_f, chunk=p1
                 )
                 st8 = jnp.stack(
                     [st[0], st[1], st[2], st[3], st[4], st[5],
@@ -1240,6 +1362,9 @@ class TsdfPipeline:
                 # catches bracket-miss and ordinary edge rays, stage 2 runs
                 # the few grazing rays to exhaustion
                 budget_used = p1
+                # tails stay SERIAL: their work is sparse long-distance
+                # travel where per-step sentinel jumps cover ~an order of
+                # magnitude more ground per sample than dense chunks
                 stages = ((3, 3 * p1), (10, tail_budget))
                 for divisor, budget in stages:
                     steps = min(budget, max_steps - budget_used)
@@ -1258,14 +1383,10 @@ class TsdfPipeline:
                     rg = ray8[safe2]
                     sg = st8[safe2]
                     len2 = jnp.where(idx2 < R, rg[:, 6], 0.0)
-                    hit2, _, num2, st2 = raymarch.march(
-                        packed, cam.eye_vol,
-                        (rg[:, 3], rg[:, 4], rg[:, 5]), limit, steps,
-                        ((rg[:, 0], rg[:, 1], rg[:, 2]), len2),
-                        mode=c.march_mode,
+                    hit2, num2, st2 = do_march(
+                        (rg[:, 0], rg[:, 1], rg[:, 2]),
+                        (rg[:, 3], rg[:, 4], rg[:, 5]), steps, len2,
                         resume=(sg[:, 0], sg[:, 1], sg[:, 2]),
-                        refine_nearest=False, sentinel_skip=skip,
-                        sentinel_scale=h_min, return_state=True,
                     )
                     budget_used += steps
                     new8 = jnp.stack(
@@ -1280,11 +1401,8 @@ class TsdfPipeline:
                         jnp.sum(unfinished.astype(jnp.int32)) - cap_t,
                     )
             else:
-                hit, _, num, st = raymarch.march(
-                    packed, cam.eye_vol, dn_f, limit, max_steps,
-                    (pos0_f, len_full_f), mode=c.march_mode,
-                    refine_nearest=False, sentinel_skip=skip,
-                    sentinel_scale=h_min, return_state=True,
+                hit, num, st = do_march(
+                    pos0_f, dn_f, max_steps, len_full_f
                 )
                 st8 = jnp.stack(
                     [st[0], st[1], st[2], st[3], st[4], st[5],
@@ -1316,7 +1434,9 @@ class TsdfPipeline:
             # secant position (the reference's unrefined behavior). The
             # compact oct table evaluates the RAW fused field (one 8-wide
             # row per sample) when available.
-            if oct is not None:
+            if "refine" in c.debug_skip:
+                hp = hit_pos_h
+            elif oct is not None:
                 hp = raymarch.oct_refine_crossing(
                     oct, pos0_h, dn_h, sh[:, 3], sh[:, 4],
                     live_h, hit_pos_h, limit,
@@ -1333,38 +1453,38 @@ class TsdfPipeline:
                 limit=limit, clamp_floor=floor, oct=oct,
             )
 
-            rgba = (
-                jnp.zeros((R, 4), jnp.float32)
-                .at[hit_idx].set(rgba_h, mode="drop")
+            # Pack every per-ray output channel into ONE (R, 8) buffer and
+            # do ONE hit-set scatter + ONE block scatter: the previous 3
+            # hit scatters + 4 full-screen unblock scatters cost a
+            # scatter pass each; the block scatter's rows here are
+            # B2*8 = 128 lanes wide (fully lane-efficient).
+            hit6 = jnp.concatenate(
+                [rgba_h, depth_h[:, None],
+                 live_h.astype(jnp.float32)[:, None]],
+                axis=-1,
             )
-            depth_win = (
-                jnp.ones((R,), jnp.float32)
-                .at[hit_idx].set(depth_h, mode="drop")
+            buf6 = jnp.zeros((R, 6), jnp.float32).at[hit_idx].set(
+                hit6, mode="drop"
             )
-            hit_out = jnp.zeros((R,), bool).at[hit_idx].set(
-                live_h, mode="drop"
+            buf8 = jnp.concatenate(
+                [buf6, st8[:, 7:8], jnp.zeros((R, 1), jnp.float32)],
+                axis=-1,
             )
 
-            def unblock(flat, fill, channels=None):
-                shape = (NB, B2) + ((channels,) if channels else ())
-                full = jnp.full(shape, fill, flat.dtype).at[blk_idx].set(
-                    flat.reshape((capB, B2) + ((channels,) if channels else ())),
-                    mode="drop",
-                )
-                img = full.reshape(
-                    (Hb, Wb, ds, ds) + ((channels,) if channels else ())
-                ).transpose(
-                    (0, 2, 1, 3, 4) if channels else (0, 2, 1, 3)
-                )
-                img = img.reshape(
-                    (Hp, Wp) + ((channels,) if channels else ())
-                )
-                return img[:H, :W]
-
-            rgba_img = unblock(rgba, 0.0, 4)
-            depth_img = unblock(depth_win, 1.0)
-            hit_img = unblock(hit_out, False)
-            num_img = unblock(num, 0)
+            img8_full = jnp.zeros((NB, B2, 8), jnp.float32).at[blk_idx].set(
+                buf8.reshape(capB, B2, 8), mode="drop"
+            )
+            img8 = (
+                img8_full.reshape(Hb, Wb, ds, ds, 8)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(Hp, Wp, 8)[:H, :W]
+            )
+            rgba_img = img8[..., :4]
+            hit_img = img8[..., 5] > 0.5
+            # depth default is background (1.0); the packed buffer's zero
+            # fill maps back through the hit mask
+            depth_img = jnp.where(hit_img, img8[..., 4], 1.0)
+            num_img = img8[..., 6].astype(jnp.int32)
 
             oct_over = (
                 jnp.maximum(
@@ -1412,7 +1532,7 @@ class TsdfPipeline:
         render.pack_dtype = pack_dtype if skip_ else None
         # oct hit-table hooks for the dist/ layer: march tables use the
         # half-pair layout iff the oct table serves the hit path
-        render.march_half = use_oct
+        render.march_half = use_half
         render.build_oct = build_oct if use_oct else None
         cam0 = CamParams.from_camera(camera, self.bbox)
         return render, cam0

@@ -39,7 +39,12 @@ def main():
             continue
         k, _, v = kv.partition("=")
         cur = getattr(PipelineConfig(), k)
-        overrides[k] = type(cur)(float(v)) if not isinstance(cur, str) else v
+        if isinstance(cur, str):
+            overrides[k] = v
+        elif isinstance(cur, bool):
+            overrides[k] = v.lower() in ("1", "true", "yes")
+        else:
+            overrides[k] = type(cur)(float(v))
 
     bbox = BoundingBox(min=(-1.0, 0.0, -1.0), max=(1.0, 2.2, 1.0))
     rig = default_test_rig(

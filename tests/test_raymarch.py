@@ -276,3 +276,93 @@ def test_parity_mode_matches_fast_defaults():
     # surface distance ~ one voxel at this test scale. A few hull-edge
     # pixels cross at genuinely different bricks — bound the bulk.
     assert np.quantile(diff, 0.9) < 0.004, np.quantile(diff, 0.9)
+
+
+def test_half_pair_layout_matches_full():
+    """half=True PackedVolume must sample identically to half=False
+    (nearest AND trilinear) — the fast march table layout (ADVICE r4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rgbd_recon_tpu.ops.raymarch import PackedVolume
+
+    key = jax.random.PRNGKey(3)
+    vol = jax.random.normal(key, (12, 10, 16), jnp.float32)
+    pf = PackedVolume.from_volume(vol)
+    ph = PackedVolume.from_volume(vol, half=True)
+    pos = jax.random.uniform(jax.random.PRNGKey(4), (500, 3), jnp.float32,
+                             -0.1, 1.1)
+    nf = np.asarray(pf.sample_nearest(pos))
+    nh = np.asarray(ph.sample_nearest(pos))
+    np.testing.assert_array_equal(nf, nh)
+    tf = np.asarray(pf.sample_trilinear(pos))
+    th = np.asarray(ph.sample_trilinear(pos))
+    np.testing.assert_allclose(tf, th, rtol=0, atol=1e-6)
+
+
+def test_oct_volume_matches_trilinear_and_gradient():
+    """OctVolume.sample_p == GL trilinear over covered bricks (fill
+    elsewhere); gradient_p == analytic trilinear-cell slope, checked
+    against finite differences of the trilinear field (ADVICE r4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rgbd_recon_tpu.ops.raymarch import (
+        PackedVolume,
+        build_oct_bricks,
+    )
+
+    v = 4
+    Z, Y, X = 12, 8, 16
+    key = jax.random.PRNGKey(7)
+    vol = jax.random.normal(key, (Z, Y, X), jnp.float32)
+    occ = jax.random.uniform(jax.random.PRNGKey(8),
+                             (Z // v, Y // v, X // v)) < 0.5
+    limit = 0.5
+    oct = build_oct_bricks(vol, occ, v, capacity=16, limit=limit,
+                           dtype=jnp.float32)
+    packed = PackedVolume.from_volume(vol)
+
+    # positions inside covered bricks -> exact trilinear parity
+    pos = jax.random.uniform(jax.random.PRNGKey(9), (800, 3), jnp.float32,
+                             0.02, 0.98)
+    px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
+    # anchor cell brick (same math as OctVolume._cells)
+    import numpy as onp
+    x0 = onp.clip(onp.floor(onp.asarray(px) * X - 0.5).astype(int), 0, X - 1)
+    y0 = onp.clip(onp.floor(onp.asarray(py) * Y - 0.5).astype(int), 0, Y - 1)
+    z0 = onp.clip(onp.floor(onp.asarray(pz) * Z - 0.5).astype(int), 0, Z - 1)
+    occ_np = onp.asarray(occ)
+    covered = occ_np[z0 // v, y0 // v, x0 // v]
+
+    got = onp.asarray(oct.sample_p(px, py, pz, fill=-limit))
+    want = onp.asarray(packed.sample_trilinear(pos))
+    onp.testing.assert_allclose(got[covered], want[covered],
+                                rtol=0, atol=1e-5)
+    onp.testing.assert_allclose(got[~covered], -limit, rtol=0, atol=0)
+
+    # analytic gradient vs central differences of the trilinear field,
+    # at cell-interior positions (finite differences must not cross cell
+    # boundaries where the trilinear slope is discontinuous)
+    grid = (onp.stack(onp.meshgrid(
+        onp.linspace(0.3, 0.7, 5), onp.linspace(0.3, 0.7, 5),
+        onp.linspace(0.3, 0.7, 5), indexing="ij"), -1)
+        .reshape(-1, 3).astype(onp.float32))
+    # nudge to cell centers: (i + 0.5 + 0.5)/R keeps +-eps inside the cell
+    for j, R in enumerate((X, Y, Z)):
+        grid[:, j] = (onp.floor(grid[:, j] * R - 0.5) + 1.0) / R
+    gp = jnp.asarray(grid)
+    g, valid = oct.gradient_p(gp[:, 0], gp[:, 1], gp[:, 2])
+    g = onp.asarray(g)
+    valid = onp.asarray(valid)
+    eps = 1e-3 / max(Z, Y, X)
+    for ax, R in ((0, X), (1, Y), (2, Z)):
+        hi = grid.copy()
+        hi[:, ax] += eps
+        lo = grid.copy()
+        lo[:, ax] -= eps
+        fd = (onp.asarray(packed.sample_trilinear(jnp.asarray(hi)))
+              - onp.asarray(packed.sample_trilinear(jnp.asarray(lo)))) / (
+                  2 * eps)
+        onp.testing.assert_allclose(g[valid, ax], fd[valid], rtol=2e-3,
+                                    atol=2e-2)
