@@ -311,10 +311,19 @@ def integrate_bricks(
     proj = proj_bricks[:, ids_c]          # (N, K, V, 4) block gather
 
     if taps == "nearest":
-        p4 = jnp.stack(
-            [depths, qualities, silhouettes, jnp.zeros_like(depths)],
-            axis=-1,
-        ).reshape(N, H * W, 4)
+        # 8-byte map rows: [depth f32 | (quality, silhouette) as a bf16
+        # pair bitcast into one f32 lane]. Halves the per-sensor gather
+        # table (1.7 MB vs 3.5) into the fast gather size class; depth
+        # keeps full precision (it enters sdist directly), quality is a
+        # blend weight and the silhouette is {0,1} — both exact enough
+        # in bf16 for the nearest-tap fast path.
+        qs = jnp.stack([qualities, silhouettes], axis=-1).astype(jnp.bfloat16)
+        qs_f32 = jax.lax.bitcast_convert_type(
+            qs.reshape(N, H * W, 2), jnp.float32
+        )
+        p2 = jnp.stack(
+            [depths.reshape(N, H * W), qs_f32], axis=-1
+        )  # (N, H*W, 2)
         # one relayout to channel planes: the uv/validity math then runs
         # full-lane instead of strided 4-minor channel extracts
         proj_p = jnp.moveaxis(proj, -1, 0)     # (4, N, K, V)
@@ -322,7 +331,13 @@ def integrate_bricks(
         xi = jnp.clip((proj_p[0] * W).astype(jnp.int32), 0, W - 1)
         yi = jnp.clip((proj_p[1] * H).astype(jnp.int32), 0, H - 1)
         idx = yi * W + xi
-        vals = jnp.stack([p4[i][idx[i]] for i in range(N)])
+        rows = jnp.stack([p2[i][idx[i]] for i in range(N)])  # (N, K, V, 2)
+        qs2 = jax.lax.bitcast_convert_type(
+            rows[..., 1], jnp.bfloat16
+        ).astype(jnp.float32)                               # (N, K, V, 2)
+        vals = jnp.concatenate(
+            [rows[..., :1], qs2, jnp.zeros_like(rows[..., :1])], axis=-1
+        )
         return _fold_and_scatter(
             proj_p[2], vals, in_frustum, ids, limit, vol_shape, brick_vox,
             carve_sil_threshold, phantom_hull,
