@@ -44,11 +44,37 @@ from .halo import halo_exchange_z
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "z") -> Mesh:
-    """1-D mesh over the first n available devices."""
+    """1-D mesh over the first n available devices. In a multi-controller
+    run (jax.distributed.initialize), jax.devices() already spans every
+    process, so the same call builds the DCN-crossing global mesh."""
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis_name,))
+
+
+def _is_multiprocess(mesh: Mesh) -> bool:
+    pi = jax.process_index()
+    return any(d.process_index != pi for d in mesh.devices.flat)
+
+
+def _put(x, sharding):
+    """jax.device_put that also works when the sharding's mesh spans
+    multiple PROCESSES (multi-controller): every process holds the same
+    host value (deterministic construction), so each contributes its
+    addressable shards via make_array_from_callback. Single-process
+    meshes take the plain device_put fast path."""
+    mesh = sharding.mesh
+    if not _is_multiprocess(mesh):
+        return jax.device_put(x, sharding)
+
+    def put_leaf(a):
+        a = np.asarray(a)
+        return jax.make_array_from_callback(
+            a.shape, sharding, lambda idx: a[idx]
+        )
+
+    return jax.tree_util.tree_map(put_leaf, x)
 
 
 def _pad_to_multiple(arr: jnp.ndarray, axis: int, m: int):
@@ -109,14 +135,14 @@ def shard_compact_step(pipeline, camera, mesh: Mesh, axis_name: str = "z"):
         padrows = jnp.zeros((N, Bz_pad - Bz, By * Bx, Vv, 4), proj.dtype)
         padrows = padrows.at[..., 3].set(-1.0)
         projz = jnp.concatenate([projz, padrows], axis=1)
-    projz = jax.device_put(projz, NamedSharding(mesh, P(None, axis_name)))
+    projz = _put(projz, NamedSharding(mesh, P(None, axis_name)))
 
-    calib = jax.device_put(pipeline.calib, repl)
+    calib = _put(pipeline.calib, repl)
     render_fn, cam0 = pipeline.make_render_fn(camera)
-    cam0 = jax.device_put(cam0, repl)
+    cam0 = _put(cam0, repl)
     proj_models = pipeline._get_projection_models()
     if proj_models is not None:
-        proj_models = jax.device_put(proj_models, repl)
+        proj_models = _put(proj_models, repl)
     # each shard gets the full capacity -> never less permissive than the
     # single-device step
     cap_local = cfg.brick_capacity
@@ -245,10 +271,23 @@ def shard_compact_step(pipeline, camera, mesh: Mesh, axis_name: str = "z"):
     def run(frames):
         pm = pipeline._get_pixel_models(frames.depths.shape[1:3])
         if pm is not None:
-            pm = jax.device_put(pm, repl)
-        return jitted(frames, calib, cam0, pm, projz,
-                      jnp.float32(pipeline.config.tsdf_limit))
+            pm = _put(pm, repl)
+        frames_g = (
+            _put(frames, repl) if _is_multiprocess(mesh) else frames
+        )
+        return jitted(frames_g, calib, cam0, pm, projz,
+                      float(pipeline.config.tsdf_limit))
 
+    def lower(frames):
+        """jax.stages.Lowered of the sharded step — lets callers inspect
+        the compiled HLO's collectives (scripts/collective_bytes.py)."""
+        pm = pipeline._get_pixel_models(frames.depths.shape[1:3])
+        if pm is not None:
+            pm = _put(pm, repl)
+        return jitted.lower(frames, calib, cam0, pm, projz,
+                            float(pipeline.config.tsdf_limit))
+
+    run.lower = lower
     return run
 
 
@@ -271,12 +310,12 @@ def _shard_dense_step(pipeline, camera, mesh: Mesh, axis_name: str = "z"):
     vol_shape_p = (Z + padz, Y, X)
     bbox_size = tuple(float(s) for s in pipeline.bbox.size)
 
-    calib = jax.device_put(pipeline.calib, repl)
+    calib = _put(pipeline.calib, repl)
     render_fn, cam0 = pipeline.make_render_fn(camera)
-    cam0 = jax.device_put(cam0, repl)
+    cam0 = _put(cam0, repl)
     proj_models = pipeline._get_projection_models()
     if proj_models is not None:
-        proj_models = jax.device_put(proj_models, repl)
+        proj_models = _put(proj_models, repl)
 
     from ..ops import bricks as brick_ops
     from ..ops import tsdf as tsdf_ops
@@ -318,7 +357,7 @@ def _shard_dense_step(pipeline, camera, mesh: Mesh, axis_name: str = "z"):
     def run(frames):
         pm = pipeline._get_pixel_models(frames.depths.shape[1:3])
         if pm is not None:
-            pm = jax.device_put(pm, repl)
+            pm = _put(pm, repl)
         return jitted(frames, calib, cam0, pm)
 
     return run
