@@ -127,17 +127,26 @@ def integrate(
     projections: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     carve_sil_threshold: float = 1.0,
     phantom_hull: bool = False,
+    return_observers: bool = False,
 ) -> jnp.ndarray:
     """Returns the fused TSDF volume (Z, Y, X) float32 in [-limit, +limit].
 
     Pass `projections` from :func:`precompute_projections` to skip the
-    per-frame cv_xyz_inv gathers (identical math, large speedup)."""
+    per-frame cv_xyz_inv gathers (identical math, large speedup).
+
+    ``return_observers`` also returns a per-voxel OBSERVER COUNT (f32):
+    how many sensors contributed an in-band, positive-quality depth sample
+    to the voxel. Pose refinement's contamination-aware consensus masks
+    residuals to voxels >= 2 other sensors actually observed
+    (refine/pose_ba.py) — regions a single (possibly drifted) sensor
+    hallucinated then carry no weight."""
     if isinstance(voxel_pos, tuple):
         voxel_pos = voxel_centers(voxel_pos)
     num_sensors = depths.shape[0]
 
     tsd = jnp.full(voxel_pos.shape[:-1], limit, jnp.float32)
     total_w = jnp.zeros_like(tsd)
+    observers = jnp.zeros_like(tsd) if return_observers else None
 
     for i in range(num_sensors):
         if projections is not None:
@@ -162,6 +171,12 @@ def integrate(
             tsd, total_w, pos_calib[..., 2], depth, qual, sil, in_frustum,
             limit, carve_sil_threshold,
         )
+        if return_observers:
+            sdist = pos_calib[..., 2] - depth
+            observers = observers + (
+                in_frustum & (sdist > -limit) & (sdist < limit)
+                & (qual > 0.0)
+            ).astype(jnp.float32)
 
     if not phantom_hull:
         # Reference parity quirk (tsdf_integration.vs:28,57): voxels of
@@ -176,6 +191,8 @@ def integrate(
 
     if voxel_mask is not None:
         tsd = jnp.where(voxel_mask, tsd, -limit)
+    if return_observers:
+        return tsd, observers
     return tsd
 
 

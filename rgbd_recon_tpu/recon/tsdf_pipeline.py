@@ -390,28 +390,35 @@ class TsdfPipeline:
             self._limit if limit is None else jnp.float32(limit),
         )
 
-    def integrate_dense(self, maps: SensorMaps, limit=None) -> jnp.ndarray:
+    def integrate_dense(self, maps: SensorMaps, limit=None,
+                        return_observers: bool = False):
         """Dense (unbricked, unmasked) integration at an arbitrary
         truncation band. Pose refinement uses this for its wide-band
         coarse-to-fine volumes: the compact fast path materializes only
         occupied-brick voxels, which cannot represent a band wider than
         ~one brick — sampled there, a wide-band TSDF reads the clear
-        value almost everywhere and Gauss-Newton walks on garbage."""
-        if not hasattr(self, "_integrate_dense_jit"):
+        value almost everywhere and Gauss-Newton walks on garbage.
+
+        ``return_observers`` also returns the per-voxel observer-count
+        volume (ops/tsdf.py integrate) for the contamination-aware
+        consensus."""
+        key = "_integrate_dense_obs_jit" if return_observers \
+            else "_integrate_dense_jit"
+        if not hasattr(self, key):
             shape = self.volume_grid.shape
             c = self.config
 
-            def impl(calib, maps, limit):
+            def impl(calib, maps, limit, _obs=return_observers):
                 return tsdf.integrate(
                     shape, calib.cv_xyz_inv, maps.depth[..., 0],
                     maps.quality, maps.silhouette, limit,
                     voxel_mask=None, projections=None,
                     carve_sil_threshold=c.carve_sil_threshold,
-                    phantom_hull=c.phantom_hull,
+                    phantom_hull=c.phantom_hull, return_observers=_obs,
                 )
 
-            self._integrate_dense_jit = jax.jit(impl)
-        return self._integrate_dense_jit(
+            setattr(self, key, jax.jit(impl))
+        return getattr(self, key)(
             self.calib, maps,
             self._limit if limit is None else jnp.float32(limit),
         )
@@ -480,6 +487,7 @@ class TsdfPipeline:
         if reshape:
             self._build_grids()
             self.__dict__.pop("_integrate_dense_jit", None)
+            self.__dict__.pop("_integrate_dense_obs_jit", None)
         self._rebuild_jits()
         self._generation += 1
 
@@ -552,9 +560,19 @@ class TsdfPipeline:
         total = None
         for r in range(n_rounds):
             band = self.config.tsdf_limit * float(sched[r])
-            vols = pose_ba.leave_one_out_volumes(
-                self, maps, brick_counts, limit=band
+            # contamination-aware consensus: per-voxel observer counts
+            # (how many OTHER sensors saw each voxel) so residuals and
+            # rankings only use surface patches with >= 2 independent
+            # witnesses — regions only the drifted sensor hallucinated,
+            # and the biased transition zones around them, carry no
+            # weight (the round-4 failure mode for ~30 mm drifts)
+            vols, obs = pose_ba.leave_one_out_volumes(
+                self, maps, brick_counts, limit=band,
+                return_observers=True,
             )
+            # a leave-one-out consensus has N-1 potential witnesses:
+            # 2-sensor rigs can only ever have single-observer voxels
+            n_obs = min(2.0, float(self.calib.num_sensors - 1))
             poses, history = pose_ba.refine_poses(
                 self.calib, maps, None, band, iters=iters,
                 volumes=vols, init=None if apply else total,
@@ -562,14 +580,19 @@ class TsdfPipeline:
                 # never tighter than the nominal limit (1x rounds keep
                 # the classic saturation-excluding mask)
                 mask_floor=-max(band * 0.5, self.config.tsdf_limit * 0.999),
+                observers=obs, min_observers=n_obs,
             )
             if worst_only:
-                # rank at the NOMINAL limit (saturation-aware clamp): the
-                # wide band serves the solver; misalignment ranking is
-                # sharpest at the tight band
+                # rank at the ROUND band, saturation-aware, WITHOUT the
+                # observer mask: at the tight nominal band a large drift
+                # saturates most of its residuals at the clamp,
+                # compressing the ratios the gate needs, while the wide
+                # band keeps residuals proportional to displacement. The
+                # observer mask must NOT apply here — it would exclude
+                # exactly the displaced points that mark a sensor as
+                # misaligned (measured: a 3 cm drift ranked as healthy)
                 res = pose_ba.pose_residual_stats(
-                    self.calib, maps, None, self.config.tsdf_limit,
-                    volumes=vols,
+                    self.calib, maps, None, band, volumes=vols,
                 )
                 worst = jnp.argmax(res)
                 sel = (jnp.arange(poses.shape[0]) == worst)[:, None]

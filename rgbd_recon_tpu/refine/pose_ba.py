@@ -96,6 +96,31 @@ def _tsdf_at(volume, bbox_min, bbox_size, world: jnp.ndarray) -> jnp.ndarray:
     return trilinear_3d(volume[..., None], norm)[..., 0]
 
 
+def _obs_at(obs, bbox_min, bbox_size, world: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-voxel observer-count sample (counts are piecewise-constant;
+    trilinear would blur hard coverage boundaries)."""
+    Z, Y, X = obs.shape
+    n = (world - bbox_min) / bbox_size
+    xi = jnp.clip((n[..., 0] * X).astype(jnp.int32), 0, X - 1)
+    yi = jnp.clip((n[..., 1] * Y).astype(jnp.int32), 0, Y - 1)
+    zi = jnp.clip((n[..., 2] * Z).astype(jnp.int32), 0, Z - 1)
+    return obs.reshape(-1)[(zi * Y + yi) * X + xi]
+
+
+def _obs_weight(obs, bbox_min, bbox_size, world, min_observers):
+    """SOFT contamination weight from the observer count at a point:
+    1.0 for a full multi-witness consensus, 0.3 for single-witness regions
+    (valid but fragile — the lone witness may itself be imperfect), 0 for
+    voxels no other sensor observed. Hard >= 2 masking starves the solver
+    where coverage is thin (measured at coarse scales: near-zero active
+    sets); zeroing only the unobserved regions plus downweighting fragile
+    ones keeps the step well-conditioned AND uncontaminated."""
+    c = _obs_at(obs, bbox_min, bbox_size, world)
+    full = (c >= min_observers - 0.5).astype(jnp.float32)
+    single = ((c >= 0.5) & (c < min_observers - 0.5)).astype(jnp.float32)
+    return full + 0.3 * single
+
+
 def _gradient_trim(J, wm, k: float = 2.0):
     """Zero the weight of points whose TSDF gradient magnitude is an
     outlier. The translation block of J IS the volume gradient (chain
@@ -112,8 +137,14 @@ def _gradient_trim(J, wm, k: float = 2.0):
 
 
 def _normal_equations(params, pts, w, volume, bbox_min, bbox_size, limit,
-                      center=0.0, mask_floor=None):
-    """(J^T W J (6,6), J^T W r (6,), mean |r|) for one sensor."""
+                      center=0.0, mask_floor=None, observers=None,
+                      min_observers: float = 2.0):
+    """(J^T W J (6,6), J^T W r (6,), mean |r|) for one sensor.
+
+    ``observers`` masks residuals to voxels at least ``min_observers``
+    OTHER sensors actually observed (contamination-aware consensus):
+    surface patches seen by a single — possibly drifted — sensor, and the
+    biased transition zones around them, carry no weight."""
 
     def resid_fn(p):
         moved = apply_pose(p, pts, center)
@@ -130,13 +161,18 @@ def _normal_equations(params, pts, w, volume, bbox_min, bbox_size, limit,
         # residuals are always genuine (in front of an observed surface).
         floor = -limit * 0.999 if mask_floor is None else mask_floor
         mask = (r > floor) & (r < limit * 0.999) & (w > 0.0)
-        return r, mask
+        ow = 1.0
+        if observers is not None:
+            ow = _obs_weight(
+                observers, bbox_min, bbox_size, moved, min_observers
+            )
+        return r, mask, ow
 
-    r, mask = resid_fn(params)
+    r, mask, ow = resid_fn(params)
     # forward-mode: 6 JVPs for the (P, 6) Jacobian — reverse mode would run
     # one VJP per residual (P of them)
     J = jax.jacfwd(lambda p: resid_fn(p)[0])(params)  # (P, 6)
-    wm = jnp.where(mask, w, 0.0)
+    wm = jnp.where(mask, w * ow, 0.0)
     wm = _gradient_trim(J, wm)
     JtWJ = J.T @ (J * wm[:, None])
     JtWr = J.T @ (r * wm)
@@ -186,7 +222,7 @@ def _normal_equations_mesh(
 
 
 def leave_one_out_volumes(pipeline, maps, brick_counts,
-                          limit=None) -> jnp.ndarray:
+                          limit=None, return_observers: bool = False):
     """(N, Z, Y, X) stack of TSDF volumes, volume i fused WITHOUT sensor i.
 
     ``limit`` overrides the truncation band (a traced scalar, so no
@@ -199,8 +235,14 @@ def leave_one_out_volumes(pipeline, maps, brick_counts,
     the consensus of the *other* sensors. Sensor i is neutralised by giving
     it an always-skip depth (sdist >= limit everywhere), a full silhouette
     (no carving) and zero quality.
+
+    ``return_observers`` also returns the (N, Z, Y, X) OBSERVER-COUNT
+    stack — how many of the OTHER sensors contributed an in-band sample
+    per voxel — used for the contamination-aware consensus mask (forces
+    the dense integration path, which carries the counts).
     """
     vols = []
+    obs = []
     N = maps.depth.shape[0]
     for i in range(N):
         sel = jnp.arange(N) != i
@@ -225,10 +267,18 @@ def leave_one_out_volumes(pipeline, maps, brick_counts,
             and pipeline.compact
             and limit > pipeline.config.tsdf_limit * 1.5
         )
-        if wide:
+        if return_observers:
+            v, o = pipeline.integrate_dense(
+                m, limit=limit, return_observers=True
+            )
+            vols.append(v)
+            obs.append(o)
+        elif wide:
             vols.append(pipeline.integrate_dense(m, limit=limit))
         else:
             vols.append(pipeline.integrate(m, brick_counts, limit=limit))
+    if return_observers:
+        return jnp.stack(vols), jnp.stack(obs)
     return jnp.stack(vols)
 
 
@@ -246,6 +296,8 @@ def refine_poses(
     axis_name: str = "z",
     init: jnp.ndarray = None,
     mask_floor: float = None,
+    observers: jnp.ndarray = None,
+    min_observers: float = 2.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Estimate per-sensor pose corrections against the fused TSDF.
 
@@ -288,15 +340,25 @@ def refine_poses(
     vols = volumes if volumes is not None else jnp.broadcast_to(
         volume, (N,) + volume.shape
     )
+    # contamination-aware consensus (``observers`` from
+    # leave_one_out_volumes(return_observers=True)): a constant-1 stack
+    # disables the mask without changing traces
+    obs_stack = observers if observers is not None else None
 
     center = bbox_min + 0.5 * bbox_size
 
-    def active_mask(params, p, w, vol):
+    def active_mask(params, p, w, vol, obs):
         moved = apply_pose(params, p, center)
         r = _tsdf_at(vol, bbox_min, bbox_size, moved)
         # asymmetric active set — see _normal_equations
         floor = -limit * 0.999 if mask_floor is None else mask_floor
-        return (r > floor) & (r < limit * 0.999) & (w > 0.0)
+        m = ((r > floor) & (r < limit * 0.999) & (w > 0.0)).astype(
+            jnp.float32
+        )
+        if obs is not None:
+            m = m * _obs_weight(obs, bbox_min, bbox_size, moved,
+                                min_observers)
+        return m
 
     def masked_cost(params, p, w, vol, mask):
         """Cost over a FROZEN active set, with off-band escapes clamped at
@@ -311,7 +373,16 @@ def refine_poses(
         wm = w * mask
         return jnp.sum(wm * rc * rc) / jnp.maximum(jnp.sum(wm), 1e-20)
 
-    masks_f = jax.jit(jax.vmap(active_mask))
+    # big arrays (points, weights, volumes, observer stacks — hundreds of
+    # MB at reference scale) flow through the jitted functions as explicit
+    # ARGUMENTS: closure capture would bake them into the lowered module
+    # as constants, which remote-compile transports reject (HTTP 413)
+    if obs_stack is not None:
+        masks_f = jax.jit(jax.vmap(active_mask))
+    else:
+        masks_f = jax.jit(jax.vmap(
+            lambda params, p, w, vol: active_mask(params, p, w, vol, None)
+        ))
     costs_f = jax.jit(jax.vmap(masked_cost))
 
     def lm_update(params, JtWJ, JtWr, lam_i):
@@ -343,19 +414,34 @@ def refine_poses(
         return params - delta * scale
 
     if mesh is None:
-        @jax.jit
-        def candidates(poses, lam):
-            def per_sensor(params, p, w, vol, lam_i):
-                JtWJ, JtWr, res = _normal_equations(
-                    params, p, w, vol, bbox_min, bbox_size, limit, center,
-                    mask_floor,
-                )
-                return lm_update(params, JtWJ, JtWr, lam_i), res
+        if obs_stack is not None:
+            @jax.jit
+            def candidates(poses, lam, pts, ws, vols, obs_stack):
+                def per_sensor(params, p, w, vol, obs, lam_i):
+                    JtWJ, JtWr, res = _normal_equations(
+                        params, p, w, vol, bbox_min, bbox_size, limit,
+                        center, mask_floor, observers=obs,
+                        min_observers=min_observers,
+                    )
+                    return lm_update(params, JtWJ, JtWr, lam_i), res
 
-            return jax.vmap(per_sensor)(poses, pts, ws, vols, lam)
+                return jax.vmap(per_sensor)(
+                    poses, pts, ws, vols, obs_stack, lam
+                )
+        else:
+            @jax.jit
+            def candidates(poses, lam, pts, ws, vols, obs_stack):
+                def per_sensor(params, p, w, vol, lam_i):
+                    JtWJ, JtWr, res = _normal_equations(
+                        params, p, w, vol, bbox_min, bbox_size, limit,
+                        center, mask_floor,
+                    )
+                    return lm_update(params, JtWJ, JtWr, lam_i), res
+
+                return jax.vmap(per_sensor)(poses, pts, ws, vols, lam)
     else:
         @jax.jit
-        def candidates(poses, lam):
+        def candidates(poses, lam, pts, ws, vols, obs_stack):
             # per-sensor normal equations reduced over the mesh (psum);
             # N is small, so the sensor loop is unrolled in the trace
             cands, ress = [], []
@@ -376,8 +462,11 @@ def refine_poses(
     lam = jnp.full((N,), jnp.maximum(damping, 1e-2), jnp.float32)
     history = []
     for _ in range(iters):
-        mask = masks_f(poses, pts, ws, vols)
-        cand, res = candidates(poses, lam)
+        if obs_stack is not None:
+            mask = masks_f(poses, pts, ws, vols, obs_stack)
+        else:
+            mask = masks_f(poses, pts, ws, vols)
+        cand, res = candidates(poses, lam, pts, ws, vols, obs_stack)
         c_old = costs_f(poses, pts, ws, vols, mask)
         c_new = costs_f(cand, pts, ws, vols, mask)
         better = c_new < c_old
@@ -467,11 +556,15 @@ def apply_pose_corrections(calib, poses: jnp.ndarray):
 
 
 def pose_residual_stats(calib, maps, volume, limit, poses=None, stride=2,
-                        volumes=None):
+                        volumes=None, observers=None,
+                        min_observers: float = 2.0):
     """Mean |TSDF| at observed surface points (alignment quality metric).
 
     Pass ``volumes`` (N, Z, Y, X) to score each sensor against the
-    leave-one-out consensus instead of the joint volume."""
+    leave-one-out consensus instead of the joint volume; ``observers``
+    restricts the mean to multi-observer consensus voxels (the
+    contamination-aware form), so sensors are ranked on directly
+    comparable, well-defined residuals."""
     N = maps.depth.shape[0]
     if poses is None:
         poses = jnp.zeros((N, 6), jnp.float32)
@@ -489,6 +582,11 @@ def pose_residual_stats(calib, maps, volume, limit, poses=None, stride=2,
         # misaligned pose looks artificially good because its off-surface
         # points drop out of the mean
         mask = w > 0
+        if observers is not None:
+            mask = mask & (
+                _obs_at(observers[i], bbox_min, bbox_size, moved)
+                >= min_observers - 0.5
+            )
         denom = jnp.maximum(jnp.sum(mask), 1)
         out.append(
             jnp.sum(jnp.minimum(jnp.abs(r), limit) * mask) / denom
