@@ -118,3 +118,40 @@ def test_refine_poses_psum_matches_single(small_setup):
     np.testing.assert_allclose(
         np.asarray(poses_m), np.asarray(poses_s), atol=5e-5
     )
+
+
+def test_sensor_sharded_preprocess_matches_replicated():
+    """SURVEY §2.10 per-host sensor shards: the preprocess chain sharded
+    over the sensor axis must reproduce the replicated chain (maps AND
+    brick counters) exactly."""
+    from rgbd_recon_tpu.dist import shard_preprocess
+
+    rig = default_test_rig(
+        num_sensors=8, depth_size=(32, 24), color_size=(40, 32), bbox=BBOX
+    )
+    calib = build_synthetic_calibration(rig, BBOX, cv_res=(12, 16, 12),
+                                        inv_res=(16, 18, 16))
+    frames = render_rig_frames(
+        SyntheticScene(spheres=[((0.0, 1.1, 0.0), 0.55)]), rig
+    )
+    cfg = PipelineConfig(voxel_size=0.125, brick_size=0.25, tsdf_limit=0.04)
+    pipe = TsdfPipeline(calib, cfg, BBOX)
+
+    maps_ref, counts_ref = pipe.preprocess(frames)
+
+    mesh = make_mesh(8)
+    maps_sh, counts_sh = shard_preprocess(pipe, mesh)(frames)
+
+    np.testing.assert_array_equal(
+        np.asarray(counts_sh), np.asarray(counts_ref)
+    )
+    for name, atol in (("depth", 1e-6), ("quality", 1e-6),
+                       ("silhouette", 1e-6), ("normal", 1e-5),
+                       # LAB: XLA fuses the colorspace chain differently
+                       # per sharding -> f32 reassociation at ~1e-4
+                       ("lab", 2e-4)):
+        np.testing.assert_allclose(
+            np.asarray(getattr(maps_sh, name)),
+            np.asarray(getattr(maps_ref, name)),
+            rtol=1e-4, atol=atol, err_msg=name,
+        )
