@@ -228,16 +228,16 @@ def cmd_run(args):
         )
         source = zmq_source.latest
     elif args.streams:
-        # stream sizes must match --depth-size/--color-size. Raw-encoded
-        # streams replay through the native GIL-free reader
-        # (native/framering.cpp) when it builds; compressed streams use the
-        # Python reader, which owns the DXT/u8 decode.
+        # stream sizes must match --depth-size/--color-size. All wire
+        # encodings (raw / DXT1 / DXT5 color, f32 / u8 depth) replay
+        # through the native GIL-free reader (native/framering.cpp) when
+        # it builds: wire bytes pump off-GIL, the consumer decodes
+        # (the reference's recv-side split, NetKinectArray.cpp:511-542).
         from .io import native as native_io
         from .io.stream import StreamReader
 
         use_native = (
             not args.no_native_ingest
-            and all(ci == RAW for ci in compressions)
             and native_io.available()
         )
         readers = []
@@ -251,6 +251,7 @@ def cmd_run(args):
                 readers.append(native_io.NativeStreamReader(
                     p, depth_size=tuple(args.depth_size),
                     color_size=tuple(args.color_size),
+                    compression=compressions[i],
                 ))
             else:
                 readers.append(

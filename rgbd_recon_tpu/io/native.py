@@ -72,21 +72,27 @@ class NativeStreamReader:
     """In-order, looping .stream reader through the native library: the
     GIL-free drop-in for io.stream.StreamReader on the replay hot path
     (file read + memcpy run in C, releasing the GIL for the FrameFeed
-    producer thread). Raw wire encodings only — compressed streams fall
-    back to the Python reader, which owns the DXT/u8 decode."""
+    producer thread). All wire encodings: raw RGB24 / DXT1 / DXT5 color
+    and f32 / u8 depth pump through the ring as wire bytes
+    (frame_wire_size per encoding — NetKinectArray.cpp:120-144); the
+    consumer side owns the decode (io/stream.decode_color/decode_depth),
+    exactly like the reference's recv-side decompress
+    (framework/NetKinectArray.cpp:511-542)."""
 
     def __init__(self, path, depth_size: Tuple[int, int],
-                 color_size: Tuple[int, int], loop: bool = True):
+                 color_size: Tuple[int, int], loop: bool = True,
+                 compression=None):
         if not ensure_built():
             raise RuntimeError(
                 "native library unavailable; use io.stream.StreamReader"
             )
-        from .stream import frame_wire_size
+        from .stream import RAW, frame_wire_size
 
         self.depth_size = depth_size
         self.color_size = color_size
+        self.compression = compression or RAW
         self.color_bytes, self.depth_bytes = frame_wire_size(
-            depth_size, color_size
+            depth_size, color_size, self.compression
         )
         self.frame_bytes = self.color_bytes + self.depth_bytes
         self._stream = _lib.stream_open(
@@ -97,22 +103,26 @@ class NativeStreamReader:
         self.num_frames = _lib.stream_num_frames(self._stream)
         self._buf = np.empty(self.frame_bytes, np.uint8)
 
+    def _decode(self) -> Tuple[np.ndarray, np.ndarray]:
+        from .stream import decode_color, decode_depth
+
+        color = decode_color(
+            self._buf[: self.color_bytes].tobytes(), self.color_size,
+            self.compression,
+        )
+        depth = decode_depth(
+            self._buf[self.color_bytes:].tobytes(), self.depth_size,
+            self.compression,
+        )
+        return color, depth
+
     def read_frame(self) -> Tuple[np.ndarray, np.ndarray]:
         """(color (H, W, 3) f32 [0,1], depth (H, W) f32 m), in file order."""
         if not _lib.stream_read(
             self._stream, self._buf.ctypes.data_as(ctypes.c_void_p)
         ):
             raise EOFError("stream exhausted")
-        cw, ch = self.color_size
-        dw, dh = self.depth_size
-        color = (
-            self._buf[: self.color_bytes]
-            .reshape(ch, cw, 3)
-            .astype(np.float32)
-            / 255.0
-        )
-        depth = self._buf[self.color_bytes:].view("<f4").reshape(dh, dw).copy()
-        return color, depth
+        return self._decode()
 
     def close(self):
         if self._stream:
@@ -133,14 +143,18 @@ class NativeStreamPump:
         color_size: Tuple[int, int],
         fps: float = 30.0,
         loop: bool = True,
+        compression=None,
     ):
         if not ensure_built():
             raise RuntimeError("native library unavailable; use io.stream.StreamReader")
-        from .stream import frame_wire_size
+        from .stream import RAW, frame_wire_size
 
         self.depth_size = depth_size
         self.color_size = color_size
-        self.color_bytes, self.depth_bytes = frame_wire_size(depth_size, color_size)
+        self.compression = compression or RAW
+        self.color_bytes, self.depth_bytes = frame_wire_size(
+            depth_size, color_size, self.compression
+        )
         self.frame_bytes = self.color_bytes + self.depth_bytes
         self._stream = _lib.stream_open(
             str(path).encode(), self.frame_bytes, int(loop)
@@ -160,15 +174,16 @@ class NativeStreamPump:
         )
         if not got:
             return None
-        cw, ch = self.color_size
-        dw, dh = self.depth_size
-        color = (
-            self._buf[: self.color_bytes]
-            .reshape(ch, cw, 3)
-            .astype(np.float32)
-            / 255.0
+        from .stream import decode_color, decode_depth
+
+        color = decode_color(
+            self._buf[: self.color_bytes].tobytes(), self.color_size,
+            self.compression,
         )
-        depth = self._buf[self.color_bytes:].view("<f4").reshape(dh, dw).copy()
+        depth = decode_depth(
+            self._buf[self.color_bytes:].tobytes(), self.depth_size,
+            self.compression,
+        )
         return float(ts.value), color, depth
 
     @property
