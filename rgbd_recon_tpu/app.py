@@ -310,6 +310,14 @@ def cmd_run(args):
     import jax.numpy as jnp
 
     start = time.time()
+    preview = None
+    if getattr(args, "preview_port", 0):
+        from .viz.preview import PreviewServer
+
+        preview = PreviewServer(port=args.preview_port)
+        print(f"live preview: http://localhost:{preview.port}/",
+              file=sys.stderr)
+
     n_done = 0
     start_frame = 0
     if ckpt_mgr is not None and args.resume:
@@ -369,6 +377,10 @@ def cmd_run(args):
             from .viz import save_image
 
             save_image(out_dir / f"frame_{n_done:04d}.png", np.asarray(img))
+        if preview is not None:
+            # live MJPEG preview (the reference's viewer window,
+            # kinect_client.cpp:583-716, as a browser stream)
+            preview.update(np.asarray(img))
         n_done += 1
         if ckpt_mgr is not None and n_done % args.checkpoint_every == 0:
             from .io.checkpoint import ReconCheckpoint, config_to_json
@@ -551,6 +563,9 @@ def main(argv=None):
     pr.add_argument("--checkpoint-every", type=int, default=10)
     pr.add_argument("--resume", action="store_true",
                     help="resume frame cursor from the latest checkpoint")
+    pr.add_argument("--preview-port", type=int, default=0,
+                    help="serve a live MJPEG preview of the render on "
+                         "http://<host>:PORT/ (0 = off)")
     pr.add_argument("--out", default="out")
     pr.add_argument("--width", type=int, default=640)
     pr.add_argument("--height", type=int, default=360)

@@ -392,17 +392,25 @@ def refine_poses(
         # point-to-TSDF objective nearly free, and well-aligned
         # sensors walked millimeters per step on residual noise
         d = jnp.diag(JtWJ)
-        # zero-correction prior: the point-to-TSDF objective has
-        # near-null directions (translation along the surface,
-        # rotation about poorly-constrained axes) where small
-        # systematic residuals slide the pose millimeters per step.
-        # A Tikhonov pull toward zero correction pins those
-        # directions while leaving well-observed ones (curvature >>
-        # mean) essentially free.
-        mu = 0.05 * jnp.mean(d)
-        A = (JtWJ + lam_i * (jnp.diag(d) + jnp.mean(d) * jnp.eye(6))
-             + mu * jnp.eye(6))
-        delta = jnp.linalg.solve(A, JtWr + mu * params)
+        mean_d = jnp.mean(d)
+        # zero-correction prior PROJECTED onto near-null directions: the
+        # point-to-TSDF objective has directions (translation along the
+        # surface, rotation about poorly-constrained axes) where small
+        # systematic residuals slide the pose millimeters per step — a
+        # Tikhonov pull toward zero pins those. The round-4 ISOTROPIC
+        # prior also shrank weak-but-REAL directions: a y-rotation whose
+        # only witnesses are small off-axis objects carries ~5-20% of the
+        # mean curvature and was halved by the prior (measured at
+        # reference scale: 0.4 deg recovered of a 1.0 deg drift).
+        # Eigen-split the 6x6: full prior below 2% of the mean curvature,
+        # 1% of it elsewhere.
+        evals, evecs = jnp.linalg.eigh(JtWJ)
+        mu_dir = 0.05 * mean_d * jnp.where(
+            evals < 0.02 * mean_d, 1.0, 0.01
+        )
+        Pmu = (evecs * mu_dir) @ evecs.T
+        A = (JtWJ + lam_i * (jnp.diag(d) + mean_d * jnp.eye(6)) + Pmu)
+        delta = jnp.linalg.solve(A, JtWr + Pmu @ params)
         # per-iteration trust region: <= ~0.6 deg / 10 mm
         rot_n = jnp.linalg.norm(delta[:3])
         tr_n = jnp.linalg.norm(delta[3:])

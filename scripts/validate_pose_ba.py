@@ -82,7 +82,13 @@ print("calib error before (mm/sensor):", np.round(err0, 1), flush=True)
 print("refining (3 alternating rounds)...", flush=True)
 err_rounds = []
 for r in range(3):
-    poses, hist = pipe.refine_sensor_poses(maps, counts, iters=8, rounds=1,
+    # one alternating refine->apply round per loop at the nominal band;
+    # 24 LM iterations per round: the rotation valley is shallow when
+    # the dominant object sits near the drift's rotation axis, and the
+    # solver needs the extra iterations to walk out of the
+    # rotation/translation-compensation sidelobe (measured: 8 iterations
+    # stall at an equal-cost wrong-axis combination, 24 reach truth)
+    poses, hist = pipe.refine_sensor_poses(maps, counts, iters=24, rounds=1,
                                            frames=frames)
     err_rounds.append(calib_error_mm(pipe.calib))
     print(f"round {r + 1}: calib error (mm/sensor) "

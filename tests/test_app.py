@@ -161,3 +161,37 @@ def test_app_run_stereo_checkpoint(tmp_path):
 
     latest = CheckpointManager(ck).latest()
     assert latest is not None and latest.frame_index == 2
+
+
+def test_preview_server_streams_frames():
+    """Live MJPEG preview: update() publishes frames that /frame and
+    /stream serve (the reference viewer's headless stand-in)."""
+    import urllib.request
+
+    import numpy as np
+
+    from rgbd_recon_tpu.viz.preview import PreviewServer
+
+    srv = PreviewServer(port=0)  # ephemeral port
+    try:
+        img = np.zeros((24, 32, 3), np.float32)
+        img[:, :16] = (1.0, 0.2, 0.1)
+        srv.update(img)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/frame", timeout=5
+        ) as r:
+            data = r.read()
+        assert data[:2] == b"\xff\xd8"  # JPEG SOI
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/", timeout=5
+        ) as r:
+            assert b"/stream" in r.read()
+        # the stream endpoint delivers at least one multipart frame
+        req = urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/stream", timeout=5
+        )
+        chunk = req.read(64)
+        assert b"--f" in chunk and b"image/jpeg" in chunk
+        req.close()
+    finally:
+        srv.close()
