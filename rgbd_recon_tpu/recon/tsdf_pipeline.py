@@ -558,6 +558,7 @@ class TsdfPipeline:
 
         poses = history = None
         total = None
+        applied_sensor = -1
         for r in range(n_rounds):
             band = self.config.tsdf_limit * float(sched[r])
             # contamination-aware consensus: per-voxel observer counts
@@ -583,30 +584,48 @@ class TsdfPipeline:
                 observers=obs, min_observers=n_obs,
             )
             if worst_only:
-                # rank at the ROUND band, saturation-aware, WITHOUT the
-                # observer mask: at the tight nominal band a large drift
-                # saturates most of its residuals at the clamp,
-                # compressing the ratios the gate needs, while the wide
-                # band keeps residuals proportional to displacement. The
-                # observer mask must NOT apply here — it would exclude
-                # exactly the displaced points that mark a sensor as
-                # misaligned (measured: a 3 cm drift ranked as healthy)
+                # rank at the NOMINAL clamp, saturation-aware, WITHOUT
+                # the observer mask (it would exclude exactly the
+                # displaced points that mark a sensor as misaligned —
+                # measured: a 3 cm drift ranked as healthy with the mask)
                 res = pose_ba.pose_residual_stats(
-                    self.calib, maps, None, band, volumes=vols,
+                    self.calib, maps, None, self.config.tsdf_limit,
+                    volumes=vols,
                 )
-                worst = jnp.argmax(res)
+                res_h = np.asarray(res)
+                worst = int(np.argmax(res_h))
                 sel = (jnp.arange(poses.shape[0]) == worst)[:, None]
                 poses = jnp.where(sel, poses, 0.0)
                 if apply:
-                    # destructive path only: require the worst sensor to
-                    # stand clearly above the rig's noise floor, so a
-                    # healthy rig is never 'corrected' on voxelization
-                    # noise (estimates are still returned ungated). The
-                    # saturation-aware ranking compresses ratios (the
-                    # floor sits at a large fraction of the clamp), so
-                    # the margin is small.
-                    margin = res[worst] > 1.12 * jnp.median(res)
-                    poses = jnp.where(margin, poses, 0.0)
+                    # destructive path: three gates.
+                    # (1) margin — the worst sensor must stand clearly
+                    #     above the rig's noise floor, so a healthy rig
+                    #     is never 'corrected' on voxelization noise;
+                    #     bypassed for the sensor corrected LAST round
+                    #     (continuity: once flagged and moved, its
+                    #     touch-up rounds need no re-flagging — the
+                    #     residual drift no longer stands out).
+                    # (2) improvement — the candidate must LOWER the
+                    #     worst sensor's own consensus residual by >= 5%.
+                    #     Gauss-Newton on a drift far outside the band
+                    #     can run away (measured: a 31.6 mm drift
+                    #     'corrected' to 127.9 mm before this gate); a
+                    #     runaway never passes the improvement check, so
+                    #     the pipeline degrades to no-correction instead
+                    #     of corrupting the rig.
+                    margin = (
+                        res_h[worst] > 1.12 * float(np.median(res_h))
+                        or worst == applied_sensor
+                    )
+                    res_after = np.asarray(pose_ba.pose_residual_stats(
+                        self.calib, maps, None, self.config.tsdf_limit,
+                        poses=poses, volumes=vols,
+                    ))
+                    improve = res_after[worst] < 0.95 * res_h[worst]
+                    if margin and improve:
+                        applied_sensor = worst
+                    else:
+                        poses = jnp.zeros_like(poses)
             if not apply:
                 # estimate-only: accumulate through the band schedule
                 # (poses already include ``total`` via init)

@@ -115,8 +115,12 @@ def test_refine_poses_psum_matches_single(small_setup):
     poses_m, _ = pose_ba.refine_poses(
         pipe.calib, maps, volume, pipe.config.tsdf_limit, iters=2, mesh=mesh
     )
+    # atol 3e-4: the null-projected prior eigendecomposes JtWJ, and the
+    # psum'd normal equations differ from the single-device sum by f32
+    # reassociation — eigenvectors of near-degenerate directions amplify
+    # that into slightly different (equally valid) prior projectors
     np.testing.assert_allclose(
-        np.asarray(poses_m), np.asarray(poses_s), atol=5e-5
+        np.asarray(poses_m), np.asarray(poses_s), atol=3e-4
     )
 
 
