@@ -21,9 +21,10 @@ path as a single chip:
     documented collective — at reference scale this is far cheaper than
     ray hand-off between devices; ray passing becomes worthwhile only for
     volumes that no longer fit one device's HBM),
-  - sensor maps and calibration stay replicated (a few MB; preprocess is
-    ~1/3 of the fused step and shards naturally over the sensor axis once
-    rigs grow beyond a handful of sensors).
+  - sensor maps and calibration stay replicated at reference scale
+    (4 sensors / 1 host); many-sensor rigs shard the preprocess chain
+    over the SENSOR axis instead (dist/preprocess.py — per-device
+    stencil chains, psum'd brick histograms, all-gathered maps).
 
 All shardings are expressed with `jax.sharding.NamedSharding` /
 `shard_map` under `jit` (GSPMD), so the same code runs on 1 chip, a v5e
