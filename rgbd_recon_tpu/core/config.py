@@ -194,6 +194,18 @@ class PipelineConfig:
     # guards gate it, and bracket misses still fall through to the
     # full-interval tail stages.
     bracket_per_block: bool = False
+    # Widened trilinear re-bracketing of the per-hit secant refine, in
+    # march steps (tsdf_limit/2) each side of the nearest-march crossing
+    # bracket. The nearest-tap march brackets the CELL-CENTER-sampled
+    # field whose zero crossing sits up to ~half a voxel from the true
+    # trilinear crossing the reference marches — the dominant fast-mode
+    # accuracy penalty (ABLATION.md). The widened refine re-samples the
+    # trilinear field across the widened window (refine_widen_samples
+    # points, one batched oct-row gather) and runs two secant iterations,
+    # paying trilinear cost only on the hit set. 0 disables (round-4
+    # endpoint-confirm refine). Applies to the oct-table hit path.
+    refine_widen_steps: float = 1.5
+    refine_widen_samples: int = 8
     # Fraction of compacted rays given hit-shading capacity (normals +
     # color blending run on the compacted hit set only). Hits beyond
     # capacity render as background and are counted in

@@ -1482,6 +1482,14 @@ class TsdfPipeline:
                 hp = raymarch.oct_refine_crossing(
                     oct, pos0_h, dn_h, sh[:, 3], sh[:, 4],
                     live_h, hit_pos_h, limit,
+                    # widened re-bracket only where the march bracketed the
+                    # nearest-tap field; the trilinear march's bracket IS
+                    # the trilinear field's, keep the exact endpoint secant
+                    widen_steps=(
+                        c.refine_widen_steps
+                        if c.march_mode == "nearest" else 0.0
+                    ),
+                    widen_samples=c.refine_widen_samples,
                 )
             else:
                 hp = raymarch.refine_crossing(

@@ -366,3 +366,60 @@ def test_oct_volume_matches_trilinear_and_gradient():
                   2 * eps)
         onp.testing.assert_allclose(g[valid, ax], fd[valid], rtol=2e-3,
                                     atol=2e-2)
+
+
+def test_widened_refine_recovers_trilinear_crossing():
+    """oct_refine_crossing(widen_steps>0) must land on the TRILINEAR
+    field's zero crossing even when the nearest-march bracket is offset
+    by up to half a voxel (the fast-mode accuracy penalty, ABLATION.md).
+    Field: smooth linear-in-z TSDF whose trilinear crossing is known in
+    closed form; the fed-in bracket is deliberately shifted."""
+    import jax.numpy as jnp
+
+    from rgbd_recon_tpu.ops.raymarch import build_oct_bricks
+
+    v = 4
+    Z, Y, X = 16, 8, 8
+    limit = 0.5
+    # f(z) = (z_norm - 0.53) * 4: zero at z_norm = 0.53, |f| within
+    # +-limit near the crossing; voxel centers at (k + 0.5)/Z
+    zc = (jnp.arange(Z, dtype=jnp.float32) + 0.5) / Z
+    vol = jnp.broadcast_to(
+        ((zc - 0.53) * 4.0)[:, None, None], (Z, Y, X)
+    )
+    occ = jnp.ones((Z // v, Y // v, X // v), bool)
+    oct = build_oct_bricks(vol, occ, v, capacity=16, limit=limit,
+                           dtype=jnp.float32)
+
+    R = 64
+    # rays straight down +z through random (x, y)
+    px = jnp.linspace(0.2, 0.8, R)
+    py = jnp.full((R,), 0.5)
+    pz = jnp.zeros((R,))
+    pos0 = (px, py, pz)
+    dn = (jnp.zeros((R,)), jnp.zeros((R,)), jnp.ones((R,)))
+    sd = limit * 0.5
+    # nearest-march bracket shifted half a voxel PAST the true crossing
+    t_true = 0.53
+    lo_t = jnp.full((R,), t_true + 0.2 / Z)
+    hi_t = lo_t + sd
+    hit = jnp.ones((R,), bool)
+    hit_pos = jnp.stack([px, py, lo_t], axis=-1)
+
+    from rgbd_recon_tpu.ops import raymarch
+
+    hp = raymarch.oct_refine_crossing(
+        oct, pos0, dn, lo_t, hi_t, hit, hit_pos, limit,
+        widen_steps=1.5, widen_samples=8,
+    )
+    # refined z must be the trilinear crossing to sub-0.1-voxel accuracy
+    np.testing.assert_allclose(
+        np.asarray(hp[:, 2]), t_true, rtol=0, atol=0.1 / Z
+    )
+    # widen_steps=0 keeps the old endpoint-confirm behavior: the shifted
+    # bracket has f>0 at BOTH ends, so the refine must fall back to
+    # hit_pos unchanged
+    hp0 = raymarch.oct_refine_crossing(
+        oct, pos0, dn, lo_t, hi_t, hit, hit_pos, limit, widen_steps=0.0,
+    )
+    np.testing.assert_array_equal(np.asarray(hp0), np.asarray(hit_pos))
