@@ -149,6 +149,14 @@ class PipelineConfig:
     # capacity to exhaustion — the long tail is grazing silhouette rays).
     # 0 disables the split (single full-length march).
     march_phase1_steps: int = 10
+    # Sample budget of the LAST tail stage (the 1/16-capacity
+    # run-to-exhaustion stage for grazing silhouette rays). 0 = auto
+    # (10 * phase1 + 32, capped at the exhaustive max_steps). Grazing
+    # rays that exhaust the budget render as background (compare hit
+    # counts when tuning; RenderOutput.overflow[1] counts tail
+    # COMPACTION overflow, not budget exhaustion); the auto budget
+    # reaches every surface the interval scan admits.
+    march_tail_budget: int = 0
     # Chunked parallel marching: each march iteration fetches this many
     # affinely-spaced samples per ray in ONE wide gather; skip sentinels
     # then jump only at chunk boundaries. Measured on TPU v5e the serial

@@ -845,7 +845,11 @@ class TsdfPipeline:
         # tail stage (unfinished rays fall out as background — extreme
         # grazers only; the reference's while(true) pays the full cost)
         blk_budget = min(max_steps, 64)
-        tail_budget = min(max_steps, 10 * max(c.march_phase1_steps, 8) + 32)
+        tail_budget = (
+            min(max_steps, c.march_tail_budget)
+            if c.march_tail_budget > 0
+            else min(max_steps, 10 * max(c.march_phase1_steps, 8) + 32)
+        )
         ds = max(int(c.interval_downsample), 1)
         Hp, Wp = -(-H // ds) * ds, -(-W // ds) * ds
         Hb, Wb = Hp // ds, Wp // ds
