@@ -108,7 +108,7 @@ lines = [
     "",
     "4 sensors, 512x424 depth, 1 cm voxels / 10 cm bricks, tsdf_limit",
     f"0.01. Sensor 1 injected with a COMBINED drift: {DRIFT_DEG} deg",
-    f"rotation about y plus {list(np.round(np.array(DRIFT_T)*1000,1))} mm "
+    f"rotation about y plus {[float(v) for v in np.round(np.array(DRIFT_T)*1000,1)]} mm "
     f"translation ({inj_mm:.1f} mm net). Recovery via",
     "leave-one-out consensus Gauss-Newton with soft observer-count",
     "weighting (24 LM iterations per round; 4 alternating",
